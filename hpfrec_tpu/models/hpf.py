@@ -1,0 +1,1086 @@
+"""The ``HPF`` model class — TPU-native Hierarchical Poisson Factorization.
+
+API-compatible with the reference implementation's ``HPF``
+(``hpfrec/__init__.py:11-1459``): same constructor parameters (and
+defaults), same methods (``fit``, ``partial_fit``, ``predict_factors``,
+``add_user``, ``predict``, ``topN``, ``eval_llk``) and same fitted
+attributes (``Theta``, ``Beta``, ``user_mapping_`` …).  A reference user
+should be able to switch imports and run unchanged code.
+
+Differences, by design (documented per SURVEY.md §7.3):
+
+* Compute runs on JAX/XLA (TPU-first).  ``ncores`` only affects host-side
+  data preparation; device parallelism comes from the ``mesh`` keyword
+  (a ``jax.sharding.Mesh``; default: all local devices).
+* ``allow_inconsistent_math`` is accepted but a no-op: the blocked
+  segment-sum E-step is deterministic by construction for a fixed mesh
+  (the reference's racy OpenMP scatter has no TPU analogue).
+* ``sum_exp_trick`` is accepted but always on: the log-sum-exp
+  max-subtraction is free inside the fused softmax.
+* ``alloc_full_phi`` is accepted but a no-op: phi is never materialized at
+  (nnz, k); the fused kernel is the "small" variant, always.
+* Reproducibility contract: fixed (seed, dtype, mesh shape) gives
+  bit-identical runs; changing the mesh changes floating-point summation
+  order (like changing ``ncores`` would under the reference's
+  ``allow_inconsistent_math=True``).
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import time
+import types
+import warnings
+from typing import Optional
+
+import numpy as np
+
+from ..utils import data as data_utils
+from .state import Hyperparams, VariationalState, initialize_state, initialize_extra_rows
+
+
+def _as_float(x, name):
+    if isinstance(x, int):
+        x = float(x)
+    assert isinstance(x, float), f"'{name}' must be a number"
+    return x
+
+
+class HPF:
+    """Hierarchical Poisson Factorization on TPU.
+
+    Model: ``Y_ui ~ Poisson(Theta_u . Beta_i)`` with Gamma priors and
+    per-user/per-item Gamma activity/popularity scalers, fit by mean-field
+    coordinate-ascent variational inference (CAVI), optionally mini-batch
+    stochastic variational inference (SVI).
+
+    Parameters mirror the reference ``HPF.__init__``
+    (``hpfrec/__init__.py:205-358``); see that docstring for the full
+    parameter semantics.  Extra keyword-only parameters:
+
+    mesh : jax.sharding.Mesh or None
+        Device mesh for data-parallel execution. None = all local devices.
+    block_size : int or None
+        Nonzeros per compute block (None = auto).
+    """
+
+    def __init__(self, k=30, a=0.3, a_prime=0.3, b_prime=1.0,
+                 c=0.3, c_prime=0.3, d_prime=1.0, ncores=-1,
+                 stop_crit='maxiter', check_every=10, stop_thr=1e-3,
+                 users_per_batch=None, items_per_batch=None,
+                 step_size=lambda x: 1 / np.sqrt(x + 2),
+                 maxiter=100, use_float=True, reindex=True, verbose=True,
+                 random_seed=None, allow_inconsistent_math=False, full_llk=False,
+                 alloc_full_phi=False, keep_data=True, save_folder=None,
+                 produce_dicts=True, keep_all_objs=True, sum_exp_trick=False,
+                 *, mesh=None, block_size=None):
+
+        ## input checks — mirrors reference __init__ validation
+        ## (hpfrec/__init__.py:214-314)
+        assert isinstance(k, int)
+        a = _as_float(a, "a")
+        a_prime = _as_float(a_prime, "a_prime")
+        b_prime = _as_float(b_prime, "b_prime")
+        c = _as_float(c, "c")
+        c_prime = _as_float(c_prime, "c_prime")
+        d_prime = _as_float(d_prime, "d_prime")
+        assert a > 0 and a_prime > 0 and b_prime > 0
+        assert c > 0 and c_prime > 0 and d_prime > 0
+        assert k > 0
+
+        if ncores is None:
+            ncores = 1
+        if ncores < 1:
+            import multiprocessing
+
+            ncores = multiprocessing.cpu_count()
+        assert ncores > 0
+        assert isinstance(ncores, int)
+
+        if random_seed is not None:
+            assert isinstance(random_seed, int)
+
+        assert stop_crit in ['maxiter', 'train-llk', 'val-llk', 'diff-norm']
+
+        if maxiter is not None:
+            assert maxiter > 0
+            assert isinstance(maxiter, int)
+        else:
+            if stop_crit == 'maxiter':
+                raise ValueError(
+                    "If 'stop_crit' is set to 'maxiter', must provide a maximum number of iterations.")
+            maxiter = 10 ** 10
+
+        if check_every is not None:
+            assert isinstance(check_every, int)
+            assert check_every > 0
+            assert check_every <= maxiter
+        else:
+            if stop_crit != 'maxiter':
+                raise ValueError(
+                    "If 'stop_crit' is not 'maxiter', must input after how many iterations to calculate it.")
+            check_every = 0
+
+        if isinstance(stop_thr, int):
+            stop_thr = float(stop_thr)
+        if stop_thr is not None:
+            assert stop_thr > 0
+            assert isinstance(stop_thr, float)
+
+        if save_folder is not None:
+            save_folder = os.path.expanduser(save_folder)
+            assert os.path.exists(save_folder)
+
+        verbose = bool(verbose)
+        if (stop_crit == 'maxiter') and (not verbose):
+            check_every = 0
+
+        if not isinstance(step_size, types.FunctionType):
+            raise ValueError("'step_size' must be a function.")
+        if len(inspect.getfullargspec(step_size).args) < 1:
+            raise ValueError("'step_size' must be able to take the iteration number as input.")
+        assert 0 <= step_size(0) <= 1
+        assert 0 <= step_size(1) <= 1
+
+        if users_per_batch is not None:
+            if isinstance(users_per_batch, float):
+                users_per_batch = int(users_per_batch)
+            assert isinstance(users_per_batch, int)
+            assert users_per_batch > 0
+        else:
+            users_per_batch = 0
+        if items_per_batch is not None:
+            if isinstance(items_per_batch, float):
+                items_per_batch = int(items_per_batch)
+            assert isinstance(items_per_batch, int)
+            assert items_per_batch > 0
+        else:
+            items_per_batch = 0
+
+        ## store hyperparameters
+        self.k = k
+        self.a = a
+        self.a_prime = a_prime
+        self.b_prime = b_prime
+        self.c = c
+        self.c_prime = c_prime
+        self.d_prime = d_prime
+
+        self.ncores = ncores
+        self.allow_inconsistent_math = bool(allow_inconsistent_math)
+        self.use_float = bool(use_float)
+        self.random_seed = random_seed
+        self.stop_crit = stop_crit
+        self.reindex = bool(reindex)
+        self.keep_data = bool(keep_data)
+        self.maxiter = maxiter
+        self.check_every = check_every
+        self.stop_thr = stop_thr
+        self.save_folder = save_folder
+        self.verbose = verbose
+        self.produce_dicts = bool(produce_dicts)
+        self.full_llk = bool(full_llk)
+        self.alloc_full_phi = bool(alloc_full_phi)
+        self.keep_all_objs = bool(keep_all_objs)
+        self.sum_exp_trick = bool(sum_exp_trick)
+        self.step_size = step_size
+        self.users_per_batch = users_per_batch
+        self.items_per_batch = items_per_batch
+
+        self.mesh = mesh
+        self.block_size = block_size
+
+        if not self.reindex:
+            self.produce_dicts = False
+
+        ## fitted attributes
+        self.Theta = None
+        self.Beta = None
+        self.user_mapping_ = None
+        self.item_mapping_ = None
+        self.user_dict_ = None
+        self.item_dict_ = None
+        self.is_fitted = False
+        self.niter = None
+        self.train_llk = None
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+    @property
+    def _dtype(self):
+        return np.float32 if self.use_float else np.float64
+
+    def _hp(self) -> Hyperparams:
+        return Hyperparams(a=self.a, a_prime=self.a_prime, b_prime=self.b_prime,
+                           c=self.c, c_prime=self.c_prime, d_prime=self.d_prime,
+                           k=self.k)
+
+    def _require_x64_if_needed(self):
+        if not self.use_float:
+            import jax
+
+            if not jax.config.read("jax_enable_x64"):
+                jax.config.update("jax_enable_x64", True)
+
+    def _get_mesh(self):
+        from ..parallel.mesh import default_mesh
+
+        mesh = self.mesh if self.mesh is not None else default_mesh()
+        return mesh
+
+    def _segment_sums_fn(self, mesh):
+        from ..ops.cavi import phi_segment_sums
+        from ..parallel.engine import make_sharded_segment_sums
+
+        if mesh is None or len(mesh.devices.ravel()) == 1:
+            return phi_segment_sums
+        if not hasattr(self, "_cached_seg_fn") or self._cached_seg_fn_mesh is not mesh:
+            self._cached_seg_fn = make_sharded_segment_sums(mesh)
+            self._cached_seg_fn_mesh = mesh
+        return self._cached_seg_fn
+
+    def _state_to_host(self, state: VariationalState):
+        """Pull the fitted variational parameters back to host numpy; these
+        attributes (same names as the reference) are the source of truth
+        between calls."""
+        self.Theta = np.asarray(state.G_shp) / np.asarray(state.G_rte)
+        self.Beta = np.asarray(state.L_shp) / np.asarray(state.L_rte)
+        if self.keep_all_objs:
+            # np.array (copy) — these attributes are user-mutable in the
+            # reference API (add_user splices rows into them).
+            self.Gamma_shp = np.array(state.G_shp)
+            self.Gamma_rte = np.array(state.G_rte)
+            self.Lambda_shp = np.array(state.L_shp)
+            self.Lambda_rte = np.array(state.L_rte)
+            self.k_rte = np.array(state.k_rte)
+            self.t_rte = np.array(state.t_rte)
+
+    def _state_from_host(self) -> VariationalState:
+        import jax.numpy as jnp
+
+        return VariationalState(
+            G_shp=jnp.asarray(self.Gamma_shp),
+            G_rte=jnp.asarray(self.Gamma_rte),
+            L_shp=jnp.asarray(self.Lambda_shp),
+            L_rte=jnp.asarray(self.Lambda_rte),
+            k_rte=jnp.asarray(self.k_rte),
+            t_rte=jnp.asarray(self.t_rte),
+        )
+
+    def _blocked_device_data(self, y, iu, ii, mesh):
+        import jax.numpy as jnp
+
+        from ..ops.cavi import BlockedCOO
+        from ..parallel.engine import shard_blocked_data
+
+        n_shards = 1 if mesh is None else len(mesh.devices.ravel())
+        blk = data_utils.block_coo(y, iu, ii, block_size=self.block_size, n_shards=n_shards)
+        data = BlockedCOO(jnp.asarray(blk.y), jnp.asarray(blk.ix_u), jnp.asarray(blk.ix_i))
+        if mesh is not None and n_shards > 1:
+            data = shard_blocked_data(data, mesh)
+        return data, blk.nnz
+
+    # ------------------------------------------------------------------
+    # fit
+    # ------------------------------------------------------------------
+    def fit(self, counts_df, val_set=None):
+        """Fit the model to sparse count triplets (DataFrame / ndarray /
+        scipy ``coo_array``).  Mirrors reference ``HPF.fit``
+        (``hpfrec/__init__.py:360-432``)."""
+        if self.stop_crit == 'val-llk' and val_set is None:
+            raise ValueError("If 'stop_crit' is set to 'val-llk', must provide a validation set.")
+
+        self._require_x64_if_needed()
+        if self.verbose:
+            self._print_st_msg()
+
+        pdata = data_utils.process_data(
+            counts_df, self.stop_crit, self.reindex, self._dtype, sort_by_user=True)
+        if pdata.user_mapping is None:
+            self.reindex = False
+            self.produce_dicts = False
+        self.nusers = pdata.nusers
+        self.nitems = pdata.nitems
+        self.user_mapping_ = pdata.user_mapping
+        self.item_mapping_ = pdata.item_mapping
+        if self.verbose:
+            self._print_data_info()
+
+        if self.save_folder is not None:
+            if self.reindex:
+                import pandas as pd
+
+                if self.verbose:
+                    print("\nSaving user and item mappings...\n")
+                pd.Series(self.user_mapping_).to_csv(
+                    os.path.join(self.save_folder, 'users.csv'), index=False)
+                pd.Series(self.item_mapping_).to_csv(
+                    os.path.join(self.save_folder, 'items.csv'), index=False)
+            data_utils.hyperparams_txt(
+                self.save_folder, self.a, self.a_prime, self.b_prime,
+                self.c, self.c_prime, self.d_prime, self.k, self.random_seed)
+
+        val_arrays = None
+        if (val_set is not None) and (self.stop_crit not in ("diff-norm", "train-llk")):
+            val_arrays = data_utils.process_valset(
+                val_set, self.stop_crit, self.reindex,
+                self.user_mapping_, self.item_mapping_,
+                self.nusers, self.nitems, self._dtype, is_valset=True)
+            if val_arrays is None and self.stop_crit == 'val-llk':
+                self.stop_crit = 'train-llk'
+
+        svi_mode = (self.users_per_batch != 0) or (self.items_per_batch != 0)
+        if svi_mode and self.users_per_batch != 0 and self.nusers < self.users_per_batch:
+            warnings.warn("Batch size passed is larger than number of users. Will set it to nusers/10.")
+            self.users_per_batch = int(np.ceil(self.nusers / 10))
+
+        hp = self._hp()
+        mesh = self._get_mesh()
+        if self.verbose:
+            print("Initializing parameters...")
+        state = initialize_state(self.nusers, self.nitems, hp, self.random_seed, self._dtype)
+
+        data, nnz = self._blocked_device_data(pdata.y, pdata.ix_u, pdata.ix_i, mesh)
+        val_data = val_nnz = None
+        if val_arrays is not None:
+            vy, vu, vi = val_arrays
+            val_data, val_nnz = self._blocked_device_data(vy, vu, vi, mesh)
+
+        if self.verbose:
+            print("Initializing optimization procedure...")
+        st_time = time.time()
+
+        if svi_mode:
+            state = self._run_svi(state, pdata, data, nnz, val_data, val_nnz, hp, mesh)
+        else:
+            state = self._run_full_batch(state, data, nnz, val_data, val_nnz, hp, mesh)
+
+        end_tm = (time.time() - st_time) / 60.0
+        self._final_eval(state, data, nnz, val_data, val_nnz, val_arrays)
+        if self.verbose:
+            self._print_final_msg(self.niter + 1, self._last_llk, self._last_rmse, end_tm)
+
+        self._state_to_host(state)
+
+        if self.save_folder is not None:
+            self._save_parameters(state)
+
+        if self.keep_data:
+            if self.users_per_batch == 0 and self.items_per_batch == 0:
+                self._store_metadata(pdata)
+            elif not hasattr(self, "seen"):
+                self._store_metadata(pdata)
+        if self.produce_dicts and self.reindex:
+            self.user_dict_ = {self.user_mapping_[i]: i for i in range(self.user_mapping_.shape[0])}
+            self.item_dict_ = {self.item_mapping_[i]: i for i in range(self.item_mapping_.shape[0])}
+        self.is_fitted = True
+        return self
+
+    # ------------------------------------------------------------------
+    def _evaluate_criterion(self, state, data, nnz, val_data, val_nnz, it,
+                            last_crit, Theta_prev):
+        """One convergence check (reference ``assess_convergence``,
+        ``cython_loops.pxi:51-92``).  Returns (stop, last_crit, Theta_prev)."""
+        from ..ops import metrics as M
+
+        if self.stop_crit == 'diff-norm':
+            Theta = state.G_shp / state.G_rte
+            norm = float(M.theta_diff_norm(Theta, Theta_prev))
+            if self.verbose:
+                print("Iteration %d | Norm(Theta_{%d} - Theta_{%d}): %.5f"
+                      % (it, it, it - self.check_every, norm))
+            if norm < self.stop_thr:
+                return True, norm, Theta_prev
+            return False, norm, Theta
+        else:
+            Theta = state.G_shp / state.G_rte
+            Beta = state.L_shp / state.L_rte
+            if val_data is not None:
+                llk, rmse = M.val_llk_rmse(Theta, Beta, val_data, val_nnz, self.full_llk)
+                dname = "val"
+            else:
+                llk, rmse = M.train_llk_rmse(Theta, Beta, data, nnz, self.full_llk)
+                dname = "train"
+            self._last_llk, self._last_rmse = llk, rmse
+            if self.verbose:
+                print("Iteration %d | %s llk: %d | %s rmse: %.4f"
+                      % (it, dname, int(llk), dname, rmse))
+            if self.stop_crit != 'maxiter':
+                if it == self.check_every:
+                    return False, llk, Theta_prev
+                if last_crit is not None and (1.0 - llk / last_crit) <= self.stop_thr:
+                    return True, last_crit, Theta_prev
+                return False, llk, Theta_prev
+            return False, last_crit, Theta_prev
+
+    def _run_full_batch(self, state, data, nnz, val_data, val_nnz, hp, mesh):
+        import jax.numpy as jnp
+
+        from ..ops.cavi import run_cavi_block
+
+        seg_fn = self._segment_sums_fn(mesh)
+        self._last_llk = 0.0
+        self._last_rmse = 0.0
+        last_crit = None
+        Theta_prev = state.G_shp / state.G_rte if self.stop_crit == 'diff-norm' else None
+
+        iters_done = 0
+        chunk = self.check_every if self.check_every > 0 else self.maxiter
+        while iters_done < self.maxiter:
+            n = min(chunk, self.maxiter - iters_done)
+            state = run_cavi_block(state, data, jnp.asarray(n, dtype=jnp.int32), hp,
+                                   segment_sums_fn=seg_fn)
+            iters_done += n
+            if self.check_every > 0 and n == self.check_every:
+                stop, last_crit, Theta_prev = self._evaluate_criterion(
+                    state, data, nnz, val_data, val_nnz, iters_done,
+                    last_crit, Theta_prev)
+                if stop:
+                    break
+        self.niter = iters_done - 1
+        return state
+
+    def _run_svi(self, state, pdata, data, nnz, val_data, val_nnz, hp, mesh):
+        """Mini-batch SVI epochs (reference ``cython_loops.pxi:261-377``):
+        user-epochs over CSR slices, item-epochs over CSC slices, alternating
+        when both batch sizes are set (item epoch first, matching the
+        reference's parity rule at ``pxi:265-273``)."""
+        import jax.numpy as jnp
+
+        from ..ops.svi import build_row_mask, svi_batch_update
+
+        # CSR for user epochs; CSC (transposed CSR) for item epochs.
+        indptr_u, indices_u, data_u = data_utils.build_csr(
+            pdata.ix_u, pdata.ix_i, pdata.y, self.nusers, self.nitems)
+        self._st_ix_user = indptr_u
+        self._n_seen_by_user = (indptr_u[1:] - indptr_u[:-1]).astype(np.int64)
+        self.seen = indices_u
+        use_users = self.users_per_batch > 0
+        use_items = self.items_per_batch > 0
+        if use_items:
+            if self.verbose:
+                print("Creating item indices for stochastic optimization...")
+            indptr_i, indices_i, data_i = data_utils.build_csr(
+                pdata.ix_i, pdata.ix_u, pdata.y, self.nitems, self.nusers)
+
+        rng = np.random.default_rng(
+            seed=self.random_seed if (self.random_seed is not None and self.random_seed > 0) else None)
+        users_numeration = np.arange(self.nusers, dtype=np.int64) if use_users else None
+        items_numeration = np.arange(self.nitems, dtype=np.int64) if use_items else None
+        nbatches_u = int(np.ceil(self.nusers / self.users_per_batch)) if use_users else 0
+        nbatches_i = int(np.ceil(self.nitems / self.items_per_batch)) if use_items else 0
+
+        self._last_llk = 0.0
+        self._last_rmse = 0.0
+        last_crit = None
+        Theta_prev = state.G_shp / state.G_rte if self.stop_crit == 'diff-norm' else None
+        dt = self._dtype
+
+        def run_batch(rows, indptr, indices, csr_data, n_local, n_global, mult, step, user_side):
+            y_b, r_b, c_b = data_utils.gather_batch_nonzeros(indptr, indices, csr_data, rows)
+            iu_b, ii_b = (r_b, c_b) if user_side else (c_b, r_b)
+            cols_unique = np.unique(c_b) if len(c_b) else rows[:0]
+            P = data_utils._next_multiple(max(len(y_b), 1), 8)
+            y_p = np.zeros(P, dtype=dt); y_p[:len(y_b)] = y_b
+            iu_p = np.zeros(P, dtype=np.int32); iu_p[:len(y_b)] = iu_b
+            ii_p = np.zeros(P, dtype=np.int32); ii_p[:len(y_b)] = ii_b
+            rows32 = rows.astype(np.int32)
+            cols32 = cols_unique.astype(np.int32)
+            local_mask = build_row_mask(n_local, jnp.asarray(rows32))
+            other_mask = build_row_mask(n_global, jnp.asarray(cols32))
+            umask, imask = (local_mask, other_mask) if user_side else (other_mask, local_mask)
+            return svi_batch_update(
+                st_holder[0], jnp.asarray(y_p), jnp.asarray(iu_p), jnp.asarray(ii_p),
+                umask, imask, jnp.asarray(step, dtype=dt), jnp.asarray(mult, dtype=dt),
+                hp, user_side=user_side, blend_all_scalers=False)
+
+        st_holder = [state]
+        i = 0
+        for i in range(self.maxiter):
+            step = float(self.step_size(i))
+            if use_users and use_items:
+                user_epoch = ((i + 1) % 2) == 0
+            elif use_users:
+                user_epoch = True
+            else:
+                user_epoch = False
+
+            if user_epoch:
+                rng.shuffle(users_numeration)
+                for bt in range(nbatches_u):
+                    st_b = bt * self.users_per_batch
+                    end_b = min(self.nusers, (bt + 1) * self.users_per_batch)
+                    rows = users_numeration[st_b:end_b]
+                    mult = float(self.nusers) / float(end_b - st_b)
+                    st_holder[0] = run_batch(rows, indptr_u, indices_u, data_u,
+                                             self.nusers, self.nitems, mult, step, True)
+            else:
+                rng.shuffle(items_numeration)
+                for bt in range(nbatches_i):
+                    st_b = bt * self.items_per_batch
+                    end_b = min(self.nitems, (bt + 1) * self.items_per_batch)
+                    rows = items_numeration[st_b:end_b]
+                    mult = float(self.nitems) / float(end_b - st_b)
+                    st_holder[0] = run_batch(rows, indptr_i, indices_i, data_i,
+                                             self.nitems, self.nusers, mult, step, False)
+
+            if self.check_every > 0 and ((i + 1) % self.check_every) == 0:
+                stop, last_crit, Theta_prev = self._evaluate_criterion(
+                    st_holder[0], data, nnz, val_data, val_nnz, i + 1,
+                    last_crit, Theta_prev)
+                if stop:
+                    break
+        self.niter = i
+        # serve-time metadata keeps the truncated indptr like the reference
+        # (``hpfrec/__init__.py:424``)
+        self._st_ix_user = self._st_ix_user[:-1]
+        return st_holder[0]
+
+    def _final_eval(self, state, data, nnz, val_data, val_nnz, val_arrays):
+        """Reference ``eval_after_term`` (``cython_loops.pxi:94-113``):
+        only for diff-norm/maxiter with verbose does it compute a final
+        llk+rmse; that value lands in ``train_llk``."""
+        from ..ops import metrics as M
+
+        self.train_llk = None
+        if self.stop_crit in ('diff-norm', 'maxiter') and self.verbose:
+            Theta = state.G_shp / state.G_rte
+            Beta = state.L_shp / state.L_rte
+            if val_data is not None:
+                ll, se, _ = M.llk_rmse_sums(Theta, Beta, val_data, full_llk=self.full_llk)
+                vy, vu, vi = val_arrays
+                corr = float(M.rowsum_dot_rows(Theta, Beta, vu, vi))
+                llk = float(np.asarray(ll, dtype=np.float64).sum()) - corr
+                rmse = float(np.sqrt(np.asarray(se, dtype=np.float64).sum() / val_nnz))
+            else:
+                llk, rmse = M.train_llk_rmse(Theta, Beta, data, nnz, self.full_llk)
+            self._last_llk, self._last_rmse = llk, rmse
+            self.train_llk = llk
+
+    def _store_metadata(self, pdata):
+        """Seen-items CSR for ``topN(exclude_seen=True)`` (reference
+        ``_store_metadata``, ``hpfrec/__init__.py:587-606``)."""
+        indptr, indices, _ = data_utils.build_csr(
+            pdata.ix_u, pdata.ix_i, pdata.y, self.nusers, self.nitems)
+        self._n_seen_by_user = (indptr[1:] - indptr[:-1]).astype(np.int64)
+        self._st_ix_user = indptr[:-1]
+        self.seen = indices
+
+    def _save_parameters(self, state):
+        """End-of-fit CSV export, exact file set and format of the reference
+        (``cython_loops.pxi:44-49, 408-411``)."""
+        if self.verbose:
+            print("Saving final parameters to .csv files...")
+        names = ["Theta", "Beta", "Gamma_shp", "Gamma_rte", "Lambda_shp",
+                 "Lambda_rte", "kappa_rte", "tau_rte"]
+        objs = [np.asarray(state.G_shp) / np.asarray(state.G_rte),
+                np.asarray(state.L_shp) / np.asarray(state.L_rte),
+                np.asarray(state.G_shp), np.asarray(state.G_rte),
+                np.asarray(state.L_shp), np.asarray(state.L_rte),
+                np.asarray(state.k_rte), np.asarray(state.t_rte)]
+        for name, obj in zip(names, objs):
+            np.savetxt(os.path.join(self.save_folder, name), obj, fmt="%.10f", delimiter=',')
+
+    # ------------------------------------------------------------------
+    # incremental updates
+    # ------------------------------------------------------------------
+    def partial_fit(self, counts_df, batch_type='users', step_size=None,
+                    nusers=None, nitems=None, users_in_batch=None, items_in_batch=None,
+                    new_users=False, new_items=False, random_seed=None):
+        """One SVI update from a user- or item-batch of triplets.  Mirrors
+        reference ``HPF.partial_fit`` (``hpfrec/__init__.py:714-931``),
+        including its quirks: the activity/popularity scalers are blended on
+        ALL rows (unlike in-fit SVI), and the ``new_users``/``new_items``
+        row-growth arithmetic follows the reference formulas verbatim."""
+        import jax.numpy as jnp
+
+        from ..ops.svi import build_row_mask, svi_batch_update
+
+        if self.reindex:
+            raise ValueError("'partial_fit' can only be called when using reindex=False.")
+        if not self.keep_all_objs:
+            raise ValueError("'partial_fit' can only be called when using keep_all_objs=True.")
+        if self.keep_data:
+            if hasattr(self, "seen"):
+                warnings.warn(
+                    "When using 'partial_fit', the list of items seen by each user is not "
+                    "updated with the data passed here.")
+            else:
+                warnings.warn(
+                    "When fitting the model through 'partial_fit' without calling 'fit' "
+                    "beforehand, 'keep_data' will be forced to False.")
+                self.keep_data = False
+
+        assert batch_type in ('users', 'items')
+        user_batch = batch_type == 'users'
+
+        if nusers is None:
+            nusers = getattr(self, "nusers", None)
+            if nusers is None:
+                raise ValueError(
+                    "Must specify total number of users when calling 'partial_fit' for the first time.")
+        if nitems is None:
+            nitems = getattr(self, "nitems", None)
+            if nitems is None:
+                raise ValueError(
+                    "Must specify total number of items when calling 'partial_fit' for the first time.")
+        if getattr(self, "nusers", None) is None:
+            self.nusers = nusers
+        if getattr(self, "nitems", None) is None:
+            self.nitems = nitems
+
+        ## step-size fallback chain (reference __init__.py:834-849)
+        if step_size is None:
+            try:
+                self.step_size(0)
+                try:
+                    step_size = self.step_size(self.niter)
+                except Exception:
+                    self.niter = 0
+                    step_size = 1.0
+            except Exception:
+                try:
+                    step_size = 1 / np.sqrt(self.niter + 2)
+                except Exception:
+                    self.niter = 0
+                    step_size = 1.0
+        assert 0 <= step_size <= 1
+
+        if random_seed is not None:
+            if isinstance(random_seed, float):
+                random_seed = int(random_seed)
+            assert isinstance(random_seed, int)
+
+        import pandas as pd
+
+        if isinstance(counts_df, np.ndarray):
+            counts_df = pd.DataFrame(counts_df[:, :3], copy=False,
+                                     columns=["UserId", "ItemId", "Count"])
+        assert isinstance(counts_df, pd.DataFrame)
+        for col in ("UserId", "ItemId", "Count"):
+            assert col in counts_df.columns
+        assert counts_df.shape[0] > 0
+
+        self._require_x64_if_needed()
+        dt = self._dtype
+        Y_batch = np.require(counts_df["Count"].to_numpy(), dtype=dt,
+                             requirements=["ENSUREARRAY", "C_CONTIGUOUS"])
+        ix_u_batch = np.require(counts_df["UserId"].to_numpy(), dtype=np.int64,
+                                requirements=["ENSUREARRAY", "C_CONTIGUOUS"])
+        ix_i_batch = np.require(counts_df["ItemId"].to_numpy(), dtype=np.int64,
+                                requirements=["ENSUREARRAY", "C_CONTIGUOUS"])
+
+        if users_in_batch is None:
+            users_in_batch = np.unique(ix_u_batch)
+        else:
+            users_in_batch = np.require(users_in_batch, dtype=np.int64,
+                                        requirements=["ENSUREARRAY", "C_CONTIGUOUS"])
+        if items_in_batch is None:
+            items_in_batch = np.unique(ix_i_batch)
+        else:
+            items_in_batch = np.require(items_in_batch, dtype=np.int64,
+                                        requirements=["ENSUREARRAY", "C_CONTIGUOUS"])
+
+        hp = self._hp()
+        if (self.Theta is None) or (self.Beta is None):
+            state = initialize_state(self.nusers, self.nitems, hp,
+                                     self.random_seed if self.random_seed is not None else 0,
+                                     dt)
+            self._state_to_host(state)
+
+        if new_users:
+            nusers_now = int(ix_u_batch.max()) + 1
+            nusers_add = self.nusers - nusers_now
+            if nusers_add < 1:
+                raise ValueError("There are no new users in the data passed to 'partial_fit'.")
+            new_shp, new_rte, new_scaler = initialize_extra_rows(
+                nusers_add, self.a_prime, self.b_prime, self.k, random_seed, dt)
+            self.k_rte = np.r_[self.k_rte, new_scaler]
+            self.Theta = np.r_[self.Theta, new_shp / new_rte]
+            self.Gamma_rte = np.r_[self.Gamma_rte, new_rte]
+            self.Gamma_shp = np.r_[self.Gamma_shp, new_shp]
+            self.nusers += nusers_add
+
+        if new_items:
+            nitems_now = int(ix_i_batch.max()) + 1
+            nitems_add = self.nitems - nitems_now
+            if nitems_add < 1:
+                raise ValueError("There are no new items in the data passed to 'partial_fit'.")
+            new_shp, new_rte, new_scaler = initialize_extra_rows(
+                nitems_add, self.c_prime, self.d_prime, self.k, random_seed, dt)
+            self.t_rte = np.r_[self.t_rte, new_scaler]
+            self.Beta = np.r_[self.Beta, new_shp / new_rte]
+            self.Lambda_rte = np.r_[self.Lambda_rte, new_rte]
+            self.Lambda_shp = np.r_[self.Lambda_shp, new_shp]
+            self.nitems += nitems_add
+
+        # Reference quirk (``hpfrec/__init__.py:912``): the multiplier is
+        # always nusers/len(users_in_batch), even for item batches.
+        multiplier_batch = float(nusers) / users_in_batch.shape[0]
+
+        state = self._state_from_host()
+        P = data_utils._next_multiple(max(len(Y_batch), 1), 8)
+        y_p = np.zeros(P, dtype=dt); y_p[:len(Y_batch)] = Y_batch
+        iu_p = np.zeros(P, dtype=np.int32); iu_p[:len(Y_batch)] = ix_u_batch
+        ii_p = np.zeros(P, dtype=np.int32); ii_p[:len(Y_batch)] = ix_i_batch
+        umask = build_row_mask(self.nusers, jnp.asarray(users_in_batch.astype(np.int32)))
+        imask = build_row_mask(self.nitems, jnp.asarray(items_in_batch.astype(np.int32)))
+        state = svi_batch_update(
+            state, jnp.asarray(y_p), jnp.asarray(iu_p), jnp.asarray(ii_p),
+            umask, imask, jnp.asarray(step_size, dtype=dt),
+            jnp.asarray(multiplier_batch, dtype=dt),
+            hp, user_side=user_batch, blend_all_scalers=True)
+        self._state_to_host(state)
+
+        self.niter = (self.niter or 0) + 1
+        self.is_fitted = True
+        return self
+
+    # ------------------------------------------------------------------
+    def _check_input_predict_factors(self, ncores, random_seed, stop_thr, maxiter):
+        if ncores is None:
+            ncores = 1
+        if ncores < 1:
+            import multiprocessing
+
+            ncores = multiprocessing.cpu_count()
+        assert ncores > 0
+        assert isinstance(ncores, int)
+        assert isinstance(random_seed, int)
+        assert random_seed > 0
+        if isinstance(stop_thr, int):
+            stop_thr = float(stop_thr)
+        assert stop_thr > 0
+        assert isinstance(stop_thr, float)
+        if isinstance(maxiter, float):
+            maxiter = int(maxiter)
+        assert isinstance(maxiter, int)
+        assert maxiter > 0
+        return ncores, random_seed, stop_thr, maxiter
+
+    def _process_data_single(self, counts_df):
+        """Single-user ItemId/Count frame mapping (reference
+        ``_process_data_single``, ``hpfrec/__init__.py:682-712``)."""
+        import pandas as pd
+
+        assert self.is_fitted
+        assert self.keep_all_objs
+        if isinstance(counts_df, np.ndarray):
+            assert len(counts_df.shape) > 1
+            assert counts_df.shape[1] >= 2
+            counts_df = pd.DataFrame(counts_df[:, :2], columns=["ItemId", "Count"], copy=True)
+        elif isinstance(counts_df, pd.DataFrame):
+            assert counts_df.shape[0] > 0
+            assert "ItemId" in counts_df.columns
+            assert "Count" in counts_df.columns
+            counts_df = counts_df[["ItemId", "Count"]].copy()
+        else:
+            raise ValueError("'counts_df' must be a pandas data frame or a numpy array")
+
+        if self.reindex:
+            if self.produce_dicts:
+                try:
+                    counts_df["ItemId"] = counts_df["ItemId"].map(lambda x: self.item_dict_[x])
+                except Exception:
+                    raise ValueError("Can only make calculations for items that were in the training set.")
+            else:
+                codes = data_utils.map_to_training_ids(
+                    counts_df["ItemId"].to_numpy(), self.item_mapping_)
+                if (codes == -1).sum() > 0:
+                    raise ValueError("Can only make calculations for items that were in the training set.")
+                counts_df["ItemId"] = codes
+        return counts_df
+
+    def _run_user_factors(self, counts_df, maxiter, random_seed, stop_thr, return_all):
+        """Host+device fold-in (reference ``calc_user_factors``,
+        ``cython_loops.pxi:476-520``): seeded host init, then a jitted CAVI
+        loop with item parameters frozen."""
+        import jax.numpy as jnp
+        from scipy.special import digamma as np_digamma
+
+        from ..ops.svi import user_factors_loop
+
+        dt = self._dtype
+        k = self.k
+        y = counts_df["Count"].to_numpy().astype(dt)
+        ix_i = counts_df["ItemId"].to_numpy().astype(np.int64)
+
+        rng = np.random.default_rng(seed=random_seed if random_seed > 0 else None)
+        Theta0 = rng.gamma(self.a, 1.0 / self.b_prime, size=k).astype(dt)
+        G_rte0 = (rng.gamma(self.a_prime, self.b_prime / self.a_prime, size=1).astype(dt)
+                  + self.Beta.sum(axis=0).astype(dt))
+        G_shp0 = G_rte0 * Theta0 * rng.uniform(low=0.85, high=1.15, size=k).astype(dt)
+        G_shp0 = np.nan_to_num(G_shp0)
+        G_rte0 = np.nan_to_num(G_rte0)
+        k_rte0 = np.asarray(self.b_prime + Theta0.sum(), dtype=dt)
+
+        elogb_rows = (np_digamma(self.Lambda_shp[ix_i]) - np.log(self.Lambda_rte[ix_i])).astype(dt)
+        beta_colsum = self.Beta.sum(axis=0).astype(dt)
+
+        P = data_utils._next_multiple(max(len(y), 1), 8)
+        y_p = np.zeros(P, dtype=dt); y_p[:len(y)] = y
+        e_p = np.zeros((P, k), dtype=dt); e_p[:len(y)] = elogb_rows
+
+        Theta, G_shp, G_rte, phi_norm, _ = user_factors_loop(
+            jnp.asarray(y_p), jnp.asarray(e_p), jnp.asarray(beta_colsum),
+            jnp.asarray(Theta0), jnp.asarray(G_shp0), jnp.asarray(G_rte0),
+            jnp.asarray(k_rte0), self._hp(), int(maxiter),
+            jnp.asarray(stop_thr, dtype=dt))
+        Theta = np.asarray(Theta)
+        if np.isnan(Theta).sum() > 0:
+            raise ValueError("NaNs encountered in the result. Failed to produce latent factors.")
+        if return_all:
+            return Theta, np.asarray(G_shp), np.asarray(G_rte), np.asarray(phi_norm)[:len(y)]
+        return Theta, np.asarray(G_shp), np.asarray(G_rte), None
+
+    def predict_factors(self, counts_df, maxiter=10, ncores=1, random_seed=1,
+                        stop_thr=1e-3, return_all=False):
+        """Latent factors for a new user given her item counts (item
+        parameters frozen).  Mirrors reference ``HPF.predict_factors``
+        (``hpfrec/__init__.py:989-1058``)."""
+        ncores, random_seed, stop_thr, maxiter = self._check_input_predict_factors(
+            ncores, random_seed, stop_thr, maxiter)
+        counts_df = self._process_data_single(counts_df)
+        Theta, G_shp, G_rte, phi = self._run_user_factors(
+            counts_df, maxiter, random_seed, stop_thr, return_all)
+        if return_all:
+            return (Theta, G_shp, G_rte, phi)
+        return Theta
+
+    def add_user(self, user_id, counts_df, update_existing=False, maxiter=10, ncores=1,
+                 random_seed=1, stop_thr=1e-3, update_all_params=None):
+        """Add or update a single user (reference ``HPF.add_user``,
+        ``hpfrec/__init__.py:1060-1196``)."""
+        ncores, random_seed, stop_thr, maxiter = self._check_input_predict_factors(
+            ncores, random_seed, stop_thr, maxiter)
+
+        if update_existing:
+            if self.produce_dicts and self.reindex:
+                user_id = self.user_dict_[user_id]
+            elif self.reindex:
+                user_id = data_utils.map_to_training_ids(
+                    np.array([user_id]), self.user_mapping_)[0]
+                if user_id == -1:
+                    raise ValueError("User was not present in the training data.")
+
+        counts_df = self._process_data_single(counts_df)
+
+        if update_all_params:
+            counts_df = counts_df.copy()
+            counts_df['UserId'] = user_id
+            self.partial_fit(counts_df, new_users=(not update_existing))
+            Theta_prev = self.Theta[-1].copy()
+            for _ in range(maxiter - 1):
+                self.partial_fit(counts_df)
+                new_Theta = self.Theta[-1]
+                if np.linalg.norm(new_Theta - Theta_prev) <= stop_thr:
+                    break
+                Theta_prev = self.Theta[-1].copy()
+        else:
+            Theta, G_shp, G_rte, _ = self._run_user_factors(
+                counts_df, maxiter, random_seed, stop_thr, False)
+            new_k_rte = self.a_prime / self.b_prime + \
+                (G_shp.reshape((1, -1)) / G_rte.reshape((1, -1))).sum(axis=1, keepdims=True)
+            if update_existing:
+                self.Theta[user_id] = Theta
+                if self.keep_all_objs:
+                    self.Gamma_shp[user_id] = G_shp
+                    self.Gamma_rte[user_id] = G_rte
+                    self.k_rte[user_id] = new_k_rte
+            else:
+                if self.reindex:
+                    new_id = self.user_mapping_.shape[0]
+                    self.user_mapping_ = np.r_[self.user_mapping_, np.array([user_id])]
+                    if self.produce_dicts:
+                        self.user_dict_[user_id] = new_id
+                self.Theta = np.r_[self.Theta, Theta.reshape((1, self.k))]
+                if self.keep_all_objs:
+                    self.Gamma_shp = np.r_[self.Gamma_shp, G_shp.reshape((1, self.k))]
+                    self.Gamma_rte = np.r_[self.Gamma_rte, G_rte.reshape((1, self.k))]
+                    self.k_rte = np.r_[self.k_rte, new_k_rte]
+                self.nusers += 1
+
+        if self.keep_data:
+            items_arr = counts_df["ItemId"].to_numpy().astype(self.seen.dtype, copy=False)
+            if update_existing:
+                before = self._n_seen_by_user[user_id]
+                self._n_seen_by_user[user_id] = counts_df.shape[0]
+                st = self._st_ix_user[user_id]
+                self.seen = np.r_[self.seen[:st], items_arr, self.seen[st + before:]]
+                self._st_ix_user[user_id + 1:] += self._n_seen_by_user[user_id] - before
+            else:
+                self._n_seen_by_user = np.r_[self._n_seen_by_user, np.array([counts_df.shape[0]])]
+                self._st_ix_user = np.r_[self._st_ix_user, np.array([self.seen.shape[0]])]
+                self.seen = np.r_[self.seen, items_arr]
+
+        return True
+
+    # ------------------------------------------------------------------
+    # serving
+    # ------------------------------------------------------------------
+    def _map_ids(self, values, mapping, id_dict):
+        """Vector id→row mapping with -1 for unknown."""
+        if id_dict is not None and len(values) == 1:
+            try:
+                return np.array([id_dict[values[0]]])
+            except Exception:
+                return np.array([-1])
+        return data_utils.map_to_training_ids(np.asarray(values), mapping)
+
+    def predict(self, user, item):
+        """Predict counts for user/item pairs (reference ``HPF.predict``,
+        ``hpfrec/__init__.py:1198-1293``): scalar in → scalar out, arrays in
+        → array out, NaN for unknown ids."""
+        assert self.is_fitted
+        scalar_in = np.isscalar(user) and np.isscalar(item)
+        user_arr = np.asarray(user).reshape(-1) if not np.isscalar(user) else np.array([user])
+        item_arr = np.asarray(item).reshape(-1) if not np.isscalar(item) else np.array([item])
+
+        if self.reindex:
+            user_arr = self._map_ids(user_arr, self.user_mapping_, self.user_dict_)
+            item_arr = self._map_ids(item_arr, self.item_mapping_, self.item_dict_)
+        else:
+            user_arr = user_arr.astype(np.int64)
+            item_arr = item_arr.astype(np.int64)
+
+        assert user_arr.shape[0] == item_arr.shape[0]
+
+        if user_arr.shape[0] == 1:
+            if (user_arr[0] == -1) or (item_arr[0] == -1):
+                return np.nan
+            return float(self.Theta[user_arr[0]].dot(self.Beta[item_arr[0]]))
+
+        nan_entries = (user_arr == -1) | (item_arr == -1)
+        if nan_entries.sum() == 0:
+            return self._predict_arr(user_arr, item_arr)
+        out = np.empty(user_arr.shape[0], dtype=self.Theta.dtype)
+        out[~nan_entries] = self._predict_arr(user_arr[~nan_entries], item_arr[~nan_entries])
+        out[nan_entries] = np.nan
+        return out
+
+    def _predict_arr(self, iu, ii):
+        # Host einsum: gathers + rowwise dot; switches to device for large
+        # batches (reference's predict_multiple, ``pxi:803-810``).
+        if iu.shape[0] >= 65536:
+            import jax.numpy as jnp
+
+            from ..ops.metrics import predict_pairs
+
+            return np.asarray(predict_pairs(
+                jnp.asarray(self.Theta), jnp.asarray(self.Beta),
+                jnp.asarray(iu.astype(np.int32)), jnp.asarray(ii.astype(np.int32))))
+        return np.einsum('ij,ij->i', self.Theta[iu], self.Beta[ii])
+
+    def topN(self, user, n=10, exclude_seen=True, items_pool=None):
+        """Top-N recommendations (reference ``HPF.topN``,
+        ``hpfrec/__init__.py:1296-1396``), same exclusion and
+        oversample-then-setdiff semantics."""
+        if isinstance(n, float):
+            n = int(n)
+        assert isinstance(n, int)
+        if self.reindex:
+            if self.produce_dicts:
+                try:
+                    user = self.user_dict_[user]
+                except Exception:
+                    raise ValueError("Can only predict for users who were in the training set.")
+            else:
+                user = data_utils.map_to_training_ids(np.array([user]), self.user_mapping_)[0]
+                if user == -1:
+                    raise ValueError("Can only predict for users who were in the training set.")
+        if exclude_seen and not self.keep_data:
+            raise Exception("Can only exclude seen items when passing 'keep_data=True' to .fit")
+
+        if items_pool is None:
+            allpreds = -(self.Theta[user].dot(self.Beta.T))
+            if exclude_seen:
+                n_ext = int(np.min([n + self._n_seen_by_user[user], self.Beta.shape[0]]))
+                rec = np.argpartition(allpreds, n_ext - 1)[:n_ext]
+                seen = self.seen[self._st_ix_user[user]:
+                                 self._st_ix_user[user] + self._n_seen_by_user[user]]
+                rec = np.setdiff1d(rec, seen)
+                rec = rec[np.argsort(allpreds[rec])[:n]]
+            else:
+                n = int(np.min([n, self.Beta.shape[0]]))
+                rec = np.argpartition(allpreds, n - 1)[:n]
+                rec = rec[np.argsort(allpreds[rec])]
+            return self.item_mapping_[rec] if self.reindex else rec
+
+        items_pool = np.asarray(items_pool).reshape(-1)
+        if self.reindex:
+            items_pool_reind = data_utils.map_to_training_ids(items_pool, self.item_mapping_)
+            nan_ix = items_pool_reind == -1
+            if nan_ix.sum() > 0:
+                items_pool_reind = items_pool_reind[~nan_ix]
+                warnings.warn("There were %d entries from 'item_pool' that were not in the "
+                              "training data and will be exluded." % int(nan_ix.sum()))
+            if items_pool_reind.shape[0] == 0:
+                raise ValueError("No items to recommend.")
+            if items_pool_reind.shape[0] == 1:
+                raise ValueError("Only 1 item to recommend.")
+            allpreds = -self.Theta[user].dot(self.Beta[items_pool_reind].T)
+        else:
+            allpreds = -self.Theta[user].dot(self.Beta[items_pool].T)
+        n = int(np.min([n, items_pool.shape[0]]))
+        if exclude_seen:
+            n_ext = int(np.min([n + self._n_seen_by_user[user], items_pool.shape[0]]))
+            rec = np.argpartition(allpreds, n_ext - 1)[:n_ext]
+            seen = self.seen[self._st_ix_user[user]:
+                             self._st_ix_user[user] + self._n_seen_by_user[user]]
+            if self.reindex:
+                rec = np.setdiff1d(items_pool_reind[rec], seen)
+                allpreds = -self.Theta[user].dot(self.Beta[rec].T)
+                return self.item_mapping_[rec[np.argsort(allpreds)[:n]]]
+            rec = np.setdiff1d(items_pool[rec], seen)
+            allpreds = -self.Theta[user].dot(self.Beta[rec].T)
+            return rec[np.argsort(allpreds)[:n]]
+        rec = np.argpartition(allpreds, n - 1)[:n]
+        return items_pool[rec[np.argsort(allpreds[rec])]]
+
+    def eval_llk(self, input_df, full_llk=False):
+        """Poisson log-likelihood (plus constant) of the given triplets
+        (reference ``HPF.eval_llk``, ``hpfrec/__init__.py:1399-1446``)."""
+        assert self.is_fitted
+        processed = data_utils.process_valset(
+            input_df, self.stop_crit, self.reindex,
+            self.user_mapping_, self.item_mapping_,
+            self.nusers, self.nitems, self._dtype, is_valset=False)
+        y, iu, ii = processed
+
+        import jax.numpy as jnp
+
+        from ..ops.cavi import BlockedCOO
+        from ..ops.metrics import llk_rmse_sums
+
+        blk = data_utils.block_coo(y, iu, ii)
+        data = BlockedCOO(jnp.asarray(blk.y), jnp.asarray(blk.ix_u), jnp.asarray(blk.ix_i))
+        ll, _, sp = llk_rmse_sums(jnp.asarray(self.Theta), jnp.asarray(self.Beta),
+                                  data, full_llk=bool(full_llk))
+        llk = float(np.asarray(ll, dtype=np.float64).sum()) - float(
+            np.asarray(sp, dtype=np.float64).sum())
+        return {'llk': llk, 'nobs': int(y.shape[0])}
+
+    # ------------------------------------------------------------------
+    # printing (reference formats: hpfrec/__init__.py:1448-1458,
+    # cython_loops.pxi:828-847)
+    # ------------------------------------------------------------------
+    def _print_st_msg(self):
+        print("**********************************")
+        print("Hierarchical Poisson Factorization")
+        print("**********************************")
+        print("")
+
+    def _print_data_info(self):
+        print("Number of users: %d" % self.nusers)
+        print("Number of items: %d" % self.nitems)
+        print("Latent factors to use: %d" % self.k)
+        print("")
+
+    def _print_final_msg(self, it, llk, rmse, end_tm):
+        print("\n\nOptimization finished")
+        print("Final log-likelihood: %d" % int(llk))
+        print("Final RMSE: %.4f" % rmse)
+        print("Minutes taken (optimization part): %.1f" % end_tm)
+        print("")

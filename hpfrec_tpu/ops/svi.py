@@ -1,0 +1,180 @@
+"""Stochastic variational inference updates and fold-in inference.
+
+Implements the reference's SVI branch (``cython_loops.pxi:261-377``), its
+``partial_fit`` (``pxi:423-473``) and the single-user fold-in
+``calc_user_factors`` (``pxi:476-520``) as jitted, mask-based functional
+updates.
+
+Variable-size batches meet XLA's static shapes as follows: the batch's
+nonzeros are padded (y=0 rows are inert), and the "rows touched by this
+batch" sets become full-length boolean masks (nU,1)/(nI,1) built with one
+scatter, so every parameter update is a dense ``where`` blend — no dynamic
+shapes anywhere.  The natural-gradient blend ``step*new + (1-step)*old``
+with the ``n/|batch|`` multiplier follows the reference exactly, including
+its asymmetries: local-side shapes are overwritten (not blended), only the
+global side is blended, and ``partial_fit`` blends the activity/popularity
+scalers on ALL rows while the in-fit SVI blends batch rows only
+(``pxi:324-325`` vs ``pxi:472-473``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.state import Hyperparams, VariationalState
+from .cavi import _phi_block, elog_tables
+
+
+def _batch_phi_sums(state: VariationalState, y, iu, ii):
+    """Segment sums of phi over one (padded, flat) batch of nonzeros."""
+    elogt = elog_tables(state.G_shp, state.G_rte)
+    elogb = elog_tables(state.L_shp, state.L_rte)
+    phi = _phi_block(elogt, elogb, y, iu, ii)
+    su = jnp.zeros_like(state.G_shp).at[iu].add(phi, mode="promise_in_bounds")
+    si = jnp.zeros_like(state.L_shp).at[ii].add(phi, mode="promise_in_bounds")
+    return su, si
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hp", "user_side", "blend_all_scalers"),
+    donate_argnums=(0,),
+)
+def svi_batch_update(
+    state: VariationalState,
+    y: jax.Array,
+    iu: jax.Array,
+    ii: jax.Array,
+    umask: jax.Array,  # (nU, 1) bool — users touched by this batch
+    imask: jax.Array,  # (nI, 1) bool — items touched by this batch
+    step: jax.Array,
+    mult: jax.Array,
+    hp: Hyperparams,
+    user_side: bool = True,
+    blend_all_scalers: bool = False,
+) -> VariationalState:
+    """One SVI mini-batch update.
+
+    ``user_side=True`` reproduces the user-epoch update (``pxi:275-325``;
+    also ``partial_fit`` with ``batch_type='users'`` when
+    ``blend_all_scalers=True``, ``pxi:442-473``); ``user_side=False`` the
+    item-epoch (``pxi:327-377``).
+    """
+    su, si = _batch_phi_sums(state, y, iu, ii)
+    step_prev = 1.0 - step
+    G_shp, G_rte = state.G_shp, state.G_rte
+    L_shp, L_rte = state.L_shp, state.L_rte
+    k_rte, t_rte = state.k_rte, state.t_rte
+
+    # The reference resets the declared batch rows to the prior constant and
+    # then scatter-adds phi over ALL rows touched by the triplets
+    # (``pxi:304-314``); rows touched but not declared keep the added mass.
+    # ``where(mask, prior, old) + segsum`` reproduces that exactly.
+    if user_side:
+        # Local side: users get full coordinate updates; global side (items)
+        # gets the blended natural-gradient step.
+        Beta_old = L_shp / L_rte
+        G_rte = hp.k_shp / k_rte + jnp.sum(Beta_old, axis=0, keepdims=True)
+        G_shp = jnp.where(umask, hp.a, G_shp) + su
+        Theta = G_shp / G_rte
+        L_shp_scat = jnp.where(imask, hp.c, L_shp) + si
+        L_shp = jnp.where(imask, step * mult * L_shp_scat + step_prev * L_shp, L_shp_scat)
+        L_rte = jnp.where(
+            imask,
+            step * (hp.t_shp / t_rte + jnp.sum(Theta, axis=0, keepdims=True))
+            + step_prev * L_rte,
+            L_rte,
+        )
+        Beta = L_shp / L_rte
+    else:
+        Theta_old = G_shp / G_rte
+        L_rte = hp.t_shp / t_rte + jnp.sum(Theta_old, axis=0, keepdims=True)
+        L_shp = jnp.where(imask, hp.c, L_shp) + si
+        G_shp_scat = jnp.where(umask, hp.a, G_shp) + su
+        G_shp = jnp.where(umask, step * mult * G_shp_scat + step_prev * G_shp, G_shp_scat)
+        Beta = L_shp / L_rte
+        G_rte = jnp.where(
+            umask,
+            step * (hp.k_shp / k_rte + jnp.sum(Beta, axis=0, keepdims=True))
+            + step_prev * G_rte,
+            G_rte,
+        )
+        Theta = G_shp / G_rte
+
+    new_k = step * (hp.add_k_rte + jnp.sum(Theta, axis=1, keepdims=True)) + step_prev * k_rte
+    new_t = step * (hp.add_t_rte + jnp.sum(Beta, axis=1, keepdims=True)) + step_prev * t_rte
+    if blend_all_scalers:
+        k_rte, t_rte = new_k, new_t
+    else:
+        k_rte = jnp.where(umask, new_k, k_rte)
+        t_rte = jnp.where(imask, new_t, t_rte)
+
+    return VariationalState(G_shp, G_rte, L_shp, L_rte, k_rte, t_rte)
+
+
+def build_row_mask(n_rows: int, rows: jax.Array) -> jax.Array:
+    """(n_rows, 1) boolean mask with True at ``rows``.
+
+    ``rows`` may be padded by repeating any of its real entries (duplicates
+    are harmless for a set-True scatter).
+    """
+    return (
+        jnp.zeros((n_rows, 1), dtype=bool)
+        .at[rows]
+        .set(True, mode="promise_in_bounds")
+    )
+
+
+_build_row_mask_jit = jax.jit(build_row_mask, static_argnums=(0,))
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "maxiter"))
+def user_factors_loop(
+    y: jax.Array,  # (P,) padded item counts of one user
+    elogb_rows: jax.Array,  # (P, k) E[log beta] rows of those items
+    beta_colsum: jax.Array,  # (k,)
+    Theta0: jax.Array,  # (k,) initial Theta draw (convergence reference point)
+    G_shp0: jax.Array,
+    G_rte0: jax.Array,
+    k_rte0: jax.Array,  # scalar
+    hp: Hyperparams,
+    maxiter: int,
+    stop_thr: jax.Array,
+):
+    """Fold-in CAVI over a single user's counts with item parameters frozen
+    (reference ``calc_user_factors`` loop, ``pxi:504-515``).
+
+    Returns (Theta, G_shp, G_rte, phi_norm, n_iters) where ``phi_norm`` are
+    the final multinomial probabilities (reference returns ``phi/Y``,
+    ``pxi:518``).
+    """
+
+    def cond(carry):
+        i, _, _, _, _, done = carry
+        return jnp.logical_and(i < maxiter, jnp.logical_not(done))
+
+    def body(carry):
+        i, Theta, G_shp, G_rte, k_rte, _ = carry
+        logits = (jax.scipy.special.digamma(G_shp) - jnp.log(G_rte))[None, :] + elogb_rows
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        phi = (y / jnp.sum(e, axis=-1))[:, None] * e
+        G_rte = hp.k_shp / k_rte + beta_colsum
+        G_shp = hp.a + jnp.sum(phi, axis=0)
+        Theta_new = G_shp / G_rte
+        k_rte = hp.add_k_rte + jnp.sum(Theta_new)
+        done = jnp.linalg.norm(Theta_new - Theta) < stop_thr
+        return (i + 1, Theta_new, G_shp, G_rte, k_rte, done)
+
+    i, Theta, G_shp, G_rte, k_rte, _ = jax.lax.while_loop(
+        cond, body, (jnp.array(0), Theta0, G_shp0, G_rte0, k_rte0, jnp.array(False))
+    )
+    # Final normalized phi (probabilities) for return_all parity.
+    logits = (jax.scipy.special.digamma(G_shp) - jnp.log(G_rte))[None, :] + elogb_rows
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    phi_norm = e / jnp.sum(e, axis=-1, keepdims=True)
+    return Theta, G_shp, G_rte, phi_norm, i

@@ -1,0 +1,59 @@
+"""Sharded execution engine: shard_map data-parallel segment sums.
+
+Strategy (see SURVEY.md §2.3): the blocked nonzero stream ``(nblocks, B)``
+is sharded along its leading axis over the mesh's ``'d'`` axis; the factor
+tables and their E[log] lookup tables are replicated.  Each device scans its
+local blocks, producing local (nU, k)/(nI, k) partial segment sums, which a
+``psum`` over ``'d'`` combines into the replicated totals.  This is the
+distributed analogue of the reference's racy OpenMP scatter-add
+(``cython_loops.pxi:598-606``) but deterministic for a fixed mesh.
+
+The per-iteration communication volume is 2*(nU + nI)*k floats, which rides
+ICI; the per-nonzero compute stays entirely local.  Row-sharding the tables
+with a ragged all-to-all is the planned follow-up for catalogs that do not
+fit replicated.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.cavi import BlockedCOO, phi_segment_sums
+from .mesh import DATA_AXIS
+
+
+def shard_blocked_data(data: BlockedCOO, mesh: Mesh) -> BlockedCOO:
+    """Place the blocked COO stream with its leading (block) axis sharded
+    over the mesh.  ``block_coo`` already padded nblocks to a multiple of the
+    mesh size."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    return BlockedCOO(
+        y=jax.device_put(data.y, sharding),
+        ix_u=jax.device_put(data.ix_u, sharding),
+        ix_i=jax.device_put(data.ix_i, sharding),
+    )
+
+
+def make_sharded_segment_sums(mesh: Mesh):
+    """Build a drop-in replacement for ``ops.cavi.phi_segment_sums`` that
+    runs one shard_map over the mesh.  Suitable as the ``segment_sums_fn``
+    argument of ``ops.cavi.cavi_step``."""
+
+    def local_sums(elogt, elogb, y, iu, ii):
+        su, si = phi_segment_sums(elogt, elogb, BlockedCOO(y, iu, ii))
+        return jax.lax.psum(su, DATA_AXIS), jax.lax.psum(si, DATA_AXIS)
+
+    sharded = jax.shard_map(
+        local_sums,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def segment_sums_fn(elogt, elogb, data: BlockedCOO):
+        return sharded(elogt, elogb, data.y, data.ix_u, data.ix_i)
+
+    return segment_sums_fn
