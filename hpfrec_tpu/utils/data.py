@@ -330,21 +330,16 @@ def gather_batch_nonzeros(indptr, indices, data, rows: np.ndarray):
 
         return gather_rows(indptr, indices, data, rows)
     except Exception:
-        counts = (indptr[rows.astype(np.int64) + 1] - indptr[rows.astype(np.int64)]).astype(
-            np.int64
-        )
+        rows64 = rows.astype(np.int64, copy=False)
+        starts = indptr[rows64]
+        counts = (indptr[rows64 + 1] - starts).astype(np.int64)
         total = int(counts.sum())
-        out_i = np.empty(total, dtype=indices.dtype)
-        out_y = np.empty(total, dtype=data.dtype)
+        # vectorized ragged gather: position j within the output maps to
+        # indices[starts[r_j] + (j - out_start[r_j])]
         out_r = np.repeat(rows.astype(np.int32, copy=False), counts)
-        pos = 0
-        for r, c in zip(rows, counts):
-            c = int(c)
-            st = int(indptr[r])
-            out_i[pos : pos + c] = indices[st : st + c]
-            out_y[pos : pos + c] = data[st : st + c]
-            pos += c
-        return out_y, out_r, out_i
+        ends = np.cumsum(counts)
+        gather_ix = np.repeat(starts - (ends - counts), counts) + np.arange(total, dtype=np.int64)
+        return data[gather_ix], out_r, indices[gather_ix]
 
 
 def hyperparams_txt(path: str, a, a_prime, b_prime, c, c_prime, d_prime, k, random_seed):
