@@ -449,7 +449,7 @@ class HPF:
         reference's parity rule at ``pxi:265-273``)."""
         import jax.numpy as jnp
 
-        from ..ops.svi import build_row_mask, svi_batch_update
+        from ..ops.svi import svi_batch_update
 
         # CSR for user epochs; CSC (transposed CSR) for item epochs.
         indptr_u, indices_u, data_u = data_utils.build_csr(
@@ -482,19 +482,32 @@ class HPF:
             y_b, r_b, c_b = data_utils.gather_batch_nonzeros(indptr, indices, csr_data, rows)
             iu_b, ii_b = (r_b, c_b) if user_side else (c_b, r_b)
             cols_unique = np.unique(c_b) if len(c_b) else rows[:0]
-            P = data_utils._next_multiple(max(len(y_b), 1), 8)
+            # Pad the batch buffers to power-of-2 buckets: batch nonzero
+            # counts vary per shuffle, and every distinct padded shape is a
+            # separate XLA program — bucketing bounds compiles to O(log).
+            P = data_utils._next_pow2(max(len(y_b), 1024))
             y_p = np.zeros(P, dtype=dt); y_p[:len(y_b)] = y_b
             iu_p = np.zeros(P, dtype=np.int32); iu_p[:len(y_b)] = iu_b
             ii_p = np.zeros(P, dtype=np.int32); ii_p[:len(y_b)] = ii_b
-            rows32 = rows.astype(np.int32)
-            cols32 = cols_unique.astype(np.int32)
-            local_mask = build_row_mask(n_local, jnp.asarray(rows32))
-            other_mask = build_row_mask(n_global, jnp.asarray(cols32))
+            # Mask index lists get the same bucketing; padding repeats the
+            # first real row (duplicate set-True scatters are harmless).
+            local_mask = _bucketed_mask(n_local, rows)
+            other_mask = _bucketed_mask(n_global, cols_unique)
             umask, imask = (local_mask, other_mask) if user_side else (other_mask, local_mask)
             return svi_batch_update(
                 st_holder[0], jnp.asarray(y_p), jnp.asarray(iu_p), jnp.asarray(ii_p),
                 umask, imask, jnp.asarray(step, dtype=dt), jnp.asarray(mult, dtype=dt),
                 hp, user_side=user_side, blend_all_scalers=False)
+
+        def _bucketed_mask(n_rows, rows):
+            from ..ops.svi import _build_row_mask_jit
+
+            m = len(rows)
+            Pr = data_utils._next_pow2(max(m, 256))
+            rows_p = np.empty(Pr, dtype=np.int32)
+            rows_p[:m] = rows
+            rows_p[m:] = rows[0] if m else 0
+            return _build_row_mask_jit(n_rows, jnp.asarray(rows_p))
 
         st_holder = [state]
         i = 0
@@ -721,7 +734,7 @@ class HPF:
         multiplier_batch = float(nusers) / users_in_batch.shape[0]
 
         state = self._state_from_host()
-        P = data_utils._next_multiple(max(len(Y_batch), 1), 8)
+        P = data_utils._next_pow2(max(len(Y_batch), 8))
         y_p = np.zeros(P, dtype=dt); y_p[:len(Y_batch)] = Y_batch
         iu_p = np.zeros(P, dtype=np.int32); iu_p[:len(Y_batch)] = ix_u_batch
         ii_p = np.zeros(P, dtype=np.int32); ii_p[:len(Y_batch)] = ix_i_batch

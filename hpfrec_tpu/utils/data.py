@@ -260,6 +260,10 @@ def _next_multiple(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
 def block_coo(
     y: np.ndarray,
     ix_u: np.ndarray,

@@ -1,0 +1,96 @@
+"""Full SVI fit through HPF.fit vs an oracle that replays the exact epoch
+schedule: same shuffle stream, same batching, same blend order
+(reference ``cython_loops.pxi:261-377``)."""
+
+import numpy as np
+import pandas as pd
+
+from oracle import OracleHPF, synth_counts
+
+
+def _run_oracle_svi(oracle, y, iu, ii, nU, nI, users_per_batch, items_per_batch,
+                    maxiter, seed, step_size):
+    from scipy.sparse import coo_array
+
+    csr = coo_array((y, (iu, ii)), shape=(nU, nI)).tocsr()
+    csc = coo_array((y, (iu, ii)), shape=(nU, nI)).tocsc()
+    rng = np.random.default_rng(seed if seed > 0 else None)
+    users_num = np.arange(nU, dtype=np.int64)
+    items_num = np.arange(nI, dtype=np.int64)
+    use_users = users_per_batch > 0
+    use_items = items_per_batch > 0
+    nb_u = int(np.ceil(nU / users_per_batch)) if use_users else 0
+    nb_i = int(np.ceil(nI / items_per_batch)) if use_items else 0
+
+    for i in range(maxiter):
+        step = float(step_size(i))
+        if use_users and use_items:
+            user_epoch = ((i + 1) % 2) == 0
+        elif use_users:
+            user_epoch = True
+        else:
+            user_epoch = False
+        if user_epoch:
+            rng.shuffle(users_num)
+            for bt in range(nb_u):
+                rows = users_num[bt * users_per_batch: min(nU, (bt + 1) * users_per_batch)]
+                mult = float(nU) / len(rows)
+                yb, iub, iib = [], [], []
+                for r in rows:
+                    st, en = csr.indptr[r], csr.indptr[r + 1]
+                    iib.append(csr.indices[st:en])
+                    yb.append(csr.data[st:en])
+                    iub.append(np.full(en - st, r))
+                yb = np.concatenate(yb); iub = np.concatenate(iub); iib = np.concatenate(iib)
+                oracle.svi_user_batch(yb, iub.astype(int), iib.astype(int),
+                                      rows, np.unique(iib), step, mult)
+        else:
+            rng.shuffle(items_num)
+            for bt in range(nb_i):
+                rows = items_num[bt * items_per_batch: min(nI, (bt + 1) * items_per_batch)]
+                mult = float(nI) / len(rows)
+                yb, iub, iib = [], [], []
+                for r in rows:
+                    st, en = csc.indptr[r], csc.indptr[r + 1]
+                    iub.append(csc.indices[st:en])
+                    yb.append(csc.data[st:en])
+                    iib.append(np.full(en - st, r))
+                yb = np.concatenate(yb); iub = np.concatenate(iub); iib = np.concatenate(iib)
+                oracle.svi_item_batch(yb, iub.astype(int), iib.astype(int),
+                                      np.unique(iub), rows, step, mult)
+    return oracle
+
+
+def _parity(users_per_batch, items_per_batch):
+    nU, nI, k, seed = 40, 30, 5, 77
+    y, iu, ii = synth_counts(nU, nI, nnz=600, seed=4, dtype=np.float64)
+    df = pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
+
+    from hpfrec_tpu import HPF
+
+    step_size = lambda x: 1 / np.sqrt(x + 2)  # noqa: E731
+    model = HPF(k=k, maxiter=4, check_every=4, stop_crit="maxiter",
+                users_per_batch=users_per_batch, items_per_batch=items_per_batch,
+                use_float=False, verbose=False, random_seed=seed, reindex=False)
+    model.fit(df)
+
+    oracle = OracleHPF(0.3, 0.3, 1.0, 0.3, 0.3, 1.0, k).init(nU, nI, seed, np.float64)
+    _run_oracle_svi(oracle, y, iu, ii, nU, nI,
+                    users_per_batch or 0, items_per_batch or 0, 4, seed, step_size)
+
+    np.testing.assert_allclose(model.Gamma_shp, oracle.G_shp, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(model.Lambda_shp, oracle.L_shp, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(model.Theta, oracle.Theta, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(model.Beta, oracle.Beta, rtol=1e-8, atol=1e-10)
+
+
+def test_user_epochs_parity():
+    _parity(13, None)
+
+
+def test_item_epochs_parity():
+    _parity(None, 11)
+
+
+def test_alternating_epochs_parity():
+    _parity(13, 11)
