@@ -74,7 +74,8 @@ class HPF:
                  random_seed=None, allow_inconsistent_math=False, full_llk=False,
                  alloc_full_phi=False, keep_data=True, save_folder=None,
                  produce_dicts=True, keep_all_objs=True, sum_exp_trick=False,
-                 *, mesh=None, block_size=None):
+                 *, mesh=None, block_size=None,
+                 checkpoint_folder=None, checkpoint_every=None, halt_on_nan=True):
 
         ## input checks — mirrors reference __init__ validation
         ## (hpfrec/__init__.py:214-314)
@@ -190,6 +191,11 @@ class HPF:
 
         self.mesh = mesh
         self.block_size = block_size
+        if checkpoint_every is not None:
+            assert isinstance(checkpoint_every, int) and checkpoint_every > 0
+        self.checkpoint_folder = checkpoint_folder
+        self.checkpoint_every = checkpoint_every
+        self.halt_on_nan = bool(halt_on_nan)
 
         if not self.reindex:
             self.produce_dicts = False
@@ -285,10 +291,15 @@ class HPF:
     # ------------------------------------------------------------------
     # fit
     # ------------------------------------------------------------------
-    def fit(self, counts_df, val_set=None):
+    def fit(self, counts_df, val_set=None, resume=False):
         """Fit the model to sparse count triplets (DataFrame / ndarray /
         scipy ``coo_array``).  Mirrors reference ``HPF.fit``
-        (``hpfrec/__init__.py:360-432``)."""
+        (``hpfrec/__init__.py:360-432``).
+
+        With ``checkpoint_folder``/``checkpoint_every`` set at construction,
+        the six variational arrays + iteration counter (+ SVI shuffle-RNG
+        state) are checkpointed during training; ``resume=True`` continues a
+        previous run from the latest checkpoint."""
         if self.stop_crit == 'val-llk' and val_set is None:
             raise ValueError("If 'stop_crit' is set to 'val-llk', must provide a validation set.")
 
@@ -342,6 +353,23 @@ class HPF:
             print("Initializing parameters...")
         state = initialize_state(self.nusers, self.nitems, hp, self.random_seed, self._dtype)
 
+        self._resume_meta = None
+        if resume:
+            from ..utils import io as io_utils
+
+            if not io_utils.has_checkpoint(self.checkpoint_folder):
+                raise ValueError(
+                    "resume=True but no checkpoint found in 'checkpoint_folder'.")
+            ck_state, meta, ck_rng = io_utils.load_checkpoint(self.checkpoint_folder)
+            if ck_state.G_shp.shape != (self.nusers, self.k):
+                raise ValueError(
+                    "Checkpoint shape %s does not match data (%d users, k=%d)."
+                    % (ck_state.G_shp.shape, self.nusers, self.k))
+            state = ck_state
+            self._resume_meta = (meta, ck_rng)
+            if self.verbose:
+                print("Resuming from checkpoint at iteration %d..." % meta["niter"])
+
         data, nnz = self._blocked_device_data(pdata.y, pdata.ix_u, pdata.ix_i, mesh)
         val_data = val_nnz = None
         if val_arrays is not None:
@@ -388,6 +416,7 @@ class HPF:
         if self.stop_crit == 'diff-norm':
             Theta = state.G_shp / state.G_rte
             norm = float(M.theta_diff_norm(Theta, Theta_prev))
+            self._nan_sentinel(norm, it)
             if self.verbose:
                 print("Iteration %d | Norm(Theta_{%d} - Theta_{%d}): %.5f"
                       % (it, it, it - self.check_every, norm))
@@ -403,6 +432,7 @@ class HPF:
             else:
                 llk, rmse = M.train_llk_rmse(Theta, Beta, data, nnz, self.full_llk)
                 dname = "train"
+            self._nan_sentinel(llk, it)
             self._last_llk, self._last_rmse = llk, rmse
             if self.verbose:
                 print("Iteration %d | %s llk: %d | %s rmse: %.4f"
@@ -414,6 +444,31 @@ class HPF:
                     return True, last_crit, Theta_prev
                 return False, llk, Theta_prev
             return False, last_crit, Theta_prev
+
+    def _nan_sentinel(self, value, it):
+        """Halt with a clear error on numerical blow-up (the reference's
+        documented failure mode, ``hpfrec/__init__.py:76-85``, which it only
+        detects post-hoc)."""
+        if self.halt_on_nan and not np.isfinite(value):
+            raise FloatingPointError(
+                "Numerical blow-up at iteration %d (non-finite convergence "
+                "metric). Try a different random seed, use_float=False, or "
+                "full-batch mode; the last checkpoint (if enabled) is intact."
+                % it)
+
+    def _maybe_checkpoint(self, state, iters_done, rng=None, last_crit=None,
+                          extra_arrays=None):
+        if self.checkpoint_folder is None or self.checkpoint_every is None:
+            return
+        if iters_done % self.checkpoint_every == 0:
+            from ..utils import io as io_utils
+
+            extra = {}
+            if last_crit is not None:
+                extra["last_crit"] = float(last_crit)
+            io_utils.save_checkpoint(self.checkpoint_folder, state, iters_done,
+                                     rng=rng, extra=extra,
+                                     extra_arrays=extra_arrays)
 
     def _run_full_batch(self, state, data, nnz, val_data, val_nnz, hp, mesh):
         import jax.numpy as jnp
@@ -427,18 +482,24 @@ class HPF:
         Theta_prev = state.G_shp / state.G_rte if self.stop_crit == 'diff-norm' else None
 
         iters_done = 0
+        if self._resume_meta is not None:
+            meta, _ = self._resume_meta
+            iters_done = int(meta["niter"])
+            last_crit = meta.get("last_crit")
         chunk = self.check_every if self.check_every > 0 else self.maxiter
         while iters_done < self.maxiter:
             n = min(chunk, self.maxiter - iters_done)
             state = run_cavi_block(state, data, jnp.asarray(n, dtype=jnp.int32), hp,
                                    segment_sums_fn=seg_fn)
             iters_done += n
+            stop = False
             if self.check_every > 0 and n == self.check_every:
                 stop, last_crit, Theta_prev = self._evaluate_criterion(
                     state, data, nnz, val_data, val_nnz, iters_done,
                     last_crit, Theta_prev)
-                if stop:
-                    break
+            self._maybe_checkpoint(state, iters_done, last_crit=last_crit)
+            if stop:
+                break
         self.niter = iters_done - 1
         return state
 
@@ -511,7 +572,21 @@ class HPF:
 
         st_holder = [state]
         i = 0
-        for i in range(self.maxiter):
+        start_epoch = 0
+        if self._resume_meta is not None:
+            meta, ck_rng = self._resume_meta
+            start_epoch = int(meta["niter"])
+            last_crit = meta.get("last_crit")
+            if ck_rng is not None:
+                rng = ck_rng
+            # the shuffles permute the numeration arrays in place, so the
+            # permutations are loop state and must be restored with the rng
+            xa = meta.get("extra_arrays", {})
+            if "users_numeration" in xa:
+                users_numeration = xa["users_numeration"].astype(np.int64)
+            if "items_numeration" in xa:
+                items_numeration = xa["items_numeration"].astype(np.int64)
+        for i in range(start_epoch, self.maxiter):
             step = float(self.step_size(i))
             if use_users and use_items:
                 user_epoch = ((i + 1) % 2) == 0
@@ -539,12 +614,20 @@ class HPF:
                     st_holder[0] = run_batch(rows, indptr_i, indices_i, data_i,
                                              self.nitems, self.nusers, mult, step, False)
 
+            stop = False
             if self.check_every > 0 and ((i + 1) % self.check_every) == 0:
                 stop, last_crit, Theta_prev = self._evaluate_criterion(
                     st_holder[0], data, nnz, val_data, val_nnz, i + 1,
                     last_crit, Theta_prev)
-                if stop:
-                    break
+            xa = {}
+            if users_numeration is not None:
+                xa["users_numeration"] = users_numeration
+            if items_numeration is not None:
+                xa["items_numeration"] = items_numeration
+            self._maybe_checkpoint(st_holder[0], i + 1, rng=rng, last_crit=last_crit,
+                                   extra_arrays=xa)
+            if stop:
+                break
         self.niter = i
         # serve-time metadata keeps the truncated indptr like the reference
         # (``hpfrec/__init__.py:424``)
@@ -1074,6 +1157,25 @@ class HPF:
         llk = float(np.asarray(ll, dtype=np.float64).sum()) - float(
             np.asarray(sp, dtype=np.float64).sum())
         return {'llk': llk, 'nobs': int(y.shape[0])}
+
+    # ------------------------------------------------------------------
+    # serialization
+    # ------------------------------------------------------------------
+    def save(self, path):
+        """Save the fitted model (dependency-free; replaces the reference's
+        dill-based workflow, reference ``README.md:162-173``)."""
+        from ..utils.io import save_model
+
+        save_model(self, path)
+        return self
+
+    @classmethod
+    def load(cls, path, step_size=None):
+        """Load a model saved with :meth:`save`.  ``step_size`` (a function)
+        is not serialized; pass it again if you need a non-default one."""
+        from ..utils.io import load_model
+
+        return load_model(path, step_size=step_size)
 
     # ------------------------------------------------------------------
     # printing (reference formats: hpfrec/__init__.py:1448-1458,
