@@ -25,14 +25,14 @@ import jax
 import jax.numpy as jnp
 
 from ..models.state import Hyperparams, VariationalState
-from .cavi import _phi_block, elog_tables
+from .cavi import _phi_block, exp_elog_tables
 
 
 def _batch_phi_sums(state: VariationalState, y, iu, ii):
     """Segment sums of phi over one (padded, flat) batch of nonzeros."""
-    elogt = elog_tables(state.G_shp, state.G_rte)
-    elogb = elog_tables(state.L_shp, state.L_rte)
-    phi = _phi_block(elogt, elogb, y, iu, ii)
+    t_tab = exp_elog_tables(state.G_shp, state.G_rte)
+    b_tab = exp_elog_tables(state.L_shp, state.L_rte)
+    phi = _phi_block(t_tab, b_tab, y, iu, ii)
     su = jnp.zeros_like(state.G_shp).at[iu].add(phi, mode="promise_in_bounds")
     si = jnp.zeros_like(state.L_shp).at[ii].add(phi, mode="promise_in_bounds")
     return su, si

@@ -36,6 +36,68 @@ def shard_blocked_data(data: BlockedCOO, mesh: Mesh) -> BlockedCOO:
     )
 
 
+def shard_ell_layout(layout, mesh: Mesh):
+    """Place an ELL layout with each bucket's segment (m) axis sharded over
+    the mesh (build_ell must have been called with pad_shards=mesh size);
+    the reassembly arrays stay replicated."""
+    from ..ops.ell import EllBucket, EllLayout
+
+    row_sh = NamedSharding(mesh, P(DATA_AXIS))
+    mat_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    rep = NamedSharding(mesh, P())
+    return EllLayout(
+        buckets=[
+            EllBucket(
+                rows=jax.device_put(b.rows, row_sh),
+                cols=jax.device_put(b.cols, mat_sh),
+                vals=jax.device_put(b.vals, mat_sh),
+            )
+            for b in layout.buckets
+        ],
+        inv_perm=jax.device_put(layout.inv_perm, rep),
+        split_rows=jax.device_put(layout.split_rows, rep),
+        split_seg_pos=jax.device_put(layout.split_seg_pos, rep),
+        n_rows=layout.n_rows,
+    )
+
+
+def make_sharded_ell_phi_sums(mesh: Mesh, n_buckets: int):
+    """Sharded counterpart of ``ops.ell.ell_phi_sums``: each device computes
+    the phi sums of its segment shard (dense, scatter-free), per-bucket
+    all_gathers rebuild the global segment vector (communication:
+    ~(n_segments x k) floats over ICI), and reassembly runs replicated."""
+    from ..ops.ell import EllBucket, all_bucket_sums, segment_table_sums
+
+    def local_sums(t_self, t_other, *flat):
+        buckets = [EllBucket(*flat[3 * i: 3 * i + 3]) for i in range(n_buckets)]
+        parts = [
+            jax.lax.all_gather(
+                all_bucket_sums(t_self, t_other, [b]), DATA_AXIS, axis=0, tiled=True)
+            for b in buckets
+        ]
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    bucket_specs = []
+    for _ in range(n_buckets):
+        bucket_specs += [P(DATA_AXIS), P(DATA_AXIS, None), P(DATA_AXIS, None)]
+    sharded = jax.shard_map(
+        local_sums,
+        mesh=mesh,
+        in_specs=(P(), P(), *bucket_specs),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def phi_sums_fn(t_self, t_other, layout):
+        flat = []
+        for b in layout.buckets:
+            flat += [b.rows, b.cols, b.vals]
+        seg = sharded(t_self, t_other, *flat)
+        return segment_table_sums(seg, layout)
+
+    return phi_sums_fn
+
+
 def make_sharded_segment_sums(mesh: Mesh):
     """Build a drop-in replacement for ``ops.cavi.phi_segment_sums`` that
     runs one shard_map over the mesh.  Suitable as the ``segment_sums_fn``

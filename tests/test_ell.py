@@ -1,0 +1,131 @@
+"""Bucketed-ELL scatter-free segment sums vs oracle, and full CAVI-step
+equivalence with the scatter engine."""
+
+import numpy as np
+
+from oracle import synth_counts
+
+
+def _csr(y, iu, ii, nU):
+    from scipy.sparse import coo_array
+
+    X = coo_array((y, (iu, ii)), shape=(nU, int(ii.max()) + 1)).tocsr()
+    return X.indptr.astype(np.int64), X.indices.astype(np.int32), X.data
+
+
+def test_ell_phi_sums_vs_oracle():
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.ops.ell import build_ell, device_ell, ell_phi_sums
+
+    rng = np.random.default_rng(0)
+    nU, nI, k = 200, 120, 9
+    y, iu, ii = synth_counts(nU, nI, nnz=3000, seed=1)
+    indptr, indices, data = _csr(y, iu, ii, nU)
+    elogt = rng.random((nU, k)).astype(np.float32)
+    elogb = rng.random((nI, k)).astype(np.float32)
+
+    t_tab = np.exp(elogt - elogt.max(axis=1, keepdims=True))
+    b_tab = np.exp(elogb - elogb.max(axis=1, keepdims=True))
+    layout = device_ell(build_ell(indptr, indices, data, nU, max_width=32))
+    out = np.asarray(ell_phi_sums(jnp.asarray(t_tab), jnp.asarray(b_tab), layout))
+
+    logits = elogt[iu] + elogb[ii]
+    m = logits.max(1, keepdims=True)
+    e = np.exp(logits - m)
+    phi = (y / e.sum(1))[:, None] * e
+    ref = np.zeros((nU, k), np.float32)
+    np.add.at(ref, iu, phi)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_ell_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.ops.ell import build_ell, cavi_step_ell, device_ell
+    from hpfrec_tpu.parallel import make_mesh
+    from hpfrec_tpu.parallel.engine import (make_sharded_ell_phi_sums,
+                                            shard_ell_layout)
+
+    assert len(jax.devices()) == 8
+    nU, nI, k = 80, 50, 7
+    y, iu, ii = synth_counts(nU, nI, nnz=900, seed=3)
+    hp = Hyperparams(k=k)
+    indptr_u, ind_u, dat_u = _csr(y, iu, ii, nU)
+    indptr_i, ind_i, dat_i = _csr(y, ii, iu, nI)
+
+    lu1 = device_ell(build_ell(indptr_u, ind_u, dat_u, nU, max_width=64))
+    li1 = device_ell(build_ell(indptr_i, ind_i, dat_i, nI, max_width=64))
+    ref = cavi_step_ell(initialize_state(nU, nI, hp, 21), lu1, li1, hp)
+
+    mesh = make_mesh()
+    lu8 = shard_ell_layout(build_ell(indptr_u, ind_u, dat_u, nU, max_width=64,
+                                     pad_shards=8), mesh)
+    li8 = shard_ell_layout(build_ell(indptr_i, ind_i, dat_i, nI, max_width=64,
+                                     pad_shards=8), mesh)
+    fn_u = make_sharded_ell_phi_sums(mesh, len(lu8.buckets))
+    fn_i = make_sharded_ell_phi_sums(mesh, len(li8.buckets))
+
+    def phi_sums_fn(t_self, t_other, layout):
+        return (fn_u if layout is lu8 else fn_i)(t_self, t_other, layout)
+
+    out = jax.jit(lambda st: cavi_step_ell(st, lu8, li8, hp,
+                                           phi_sums_fn=phi_sums_fn))(
+        initialize_state(nU, nI, hp, 21))
+
+    np.testing.assert_allclose(np.asarray(out.G_shp), np.asarray(ref.G_shp), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.L_shp), np.asarray(ref.L_shp), rtol=1e-6)
+
+
+def test_hpf_fit_sharded_ell_matches_single_device():
+    """HPF.fit on an 8-device mesh == single-device fit (full-batch ELL)."""
+    import pandas as pd
+
+    from hpfrec_tpu import HPF
+    from hpfrec_tpu.parallel import make_mesh
+
+    import jax
+
+    y, iu, ii = synth_counts(60, 40, nnz=800, seed=9)
+    df = pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
+
+    m1 = HPF(k=6, maxiter=10, check_every=5, stop_crit="maxiter",
+             random_seed=3, verbose=False, mesh=make_mesh(jax.devices()[:1]))
+    m1.fit(df.copy())
+    m8 = HPF(k=6, maxiter=10, check_every=5, stop_crit="maxiter",
+             random_seed=3, verbose=False, mesh=make_mesh())
+    m8.fit(df.copy())
+    np.testing.assert_allclose(m8.Theta, m1.Theta, rtol=1e-5)
+    np.testing.assert_allclose(m8.Beta, m1.Beta, rtol=1e-5)
+
+
+def test_cavi_step_ell_matches_scatter_engine():
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.ops.cavi import BlockedCOO, cavi_step
+    from hpfrec_tpu.ops.ell import build_ell, cavi_step_ell, device_ell
+    from hpfrec_tpu.utils.data import block_coo
+
+    nU, nI, k = 80, 50, 7
+    y, iu, ii = synth_counts(nU, nI, nnz=900, seed=3)
+    hp = Hyperparams(k=k)
+    state = initialize_state(nU, nI, hp, 21)
+
+    blk = block_coo(y, iu, ii, block_size=256)
+    data = BlockedCOO(jnp.asarray(blk.y), jnp.asarray(blk.ix_u), jnp.asarray(blk.ix_i))
+    ref = cavi_step(state, data, hp)
+
+    indptr_u, ind_u, dat_u = _csr(y, iu, ii, nU)
+    indptr_i, ind_i, dat_i = _csr(y, ii, iu, nI)
+    ell_u = device_ell(build_ell(indptr_u, ind_u, dat_u, nU, max_width=64))
+    ell_i = device_ell(build_ell(indptr_i, ind_i, dat_i, nI, max_width=64))
+    out = cavi_step_ell(state, ell_u, ell_i, hp)
+
+    for a, b, name in [(out.G_shp, ref.G_shp, "G_shp"), (out.L_shp, ref.L_shp, "L_shp"),
+                       (out.G_rte, ref.G_rte, "G_rte"), (out.L_rte, ref.L_rte, "L_rte"),
+                       (out.k_rte, ref.k_rte, "k_rte"), (out.t_rte, ref.t_rte, "t_rte")]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                                   err_msg=name)
