@@ -117,6 +117,28 @@ def gather_rows(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     return out_vals, out_rows, out_cols
 
 
+def ell_fill(seg_start: np.ndarray, seg_len: np.ndarray, indices: np.ndarray,
+             data: np.ndarray, out_cols: np.ndarray, out_vals: np.ndarray):
+    """Fill one pre-zeroed (m, w) ELL bucket from CSR segments in parallel."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native unavailable: {_load_error}")
+    seg_start = np.ascontiguousarray(seg_start, dtype=np.int64)
+    seg_len = np.ascontiguousarray(seg_len, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    nseg, w = out_cols.shape
+    assert out_cols.flags.c_contiguous and out_vals.flags.c_contiguous
+    if data.dtype == np.float64:
+        fn, vt = lib.ell_fill_f64, ctypes.c_double
+    else:
+        fn, vt = lib.ell_fill_f32, ctypes.c_float
+    data = np.ascontiguousarray(data)
+    fn(_ptr(seg_start, ctypes.c_int64), _ptr(seg_len, ctypes.c_int64),
+       _ptr(indices, ctypes.c_int32), _ptr(data, vt),
+       ctypes.c_int64(nseg), ctypes.c_int64(w),
+       _ptr(out_cols, ctypes.c_int32), _ptr(out_vals, vt))
+
+
 def factorize_i64(ids: np.ndarray):
     """First-occurrence-order integer factorize (pd.factorize semantics)."""
     lib = _load()

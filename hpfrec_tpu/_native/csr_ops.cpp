@@ -133,6 +133,49 @@ void gather_rows_f64(const int64_t* indptr, const int32_t* indices,
                              out_rows, out_cols, out_vals);
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// ELL bucket fill: scatter CSR segments into a padded (m, w) bucket.
+// seg_start/seg_len index into indices/data; row r of the bucket gets
+// segment r's entries left-aligned, zero padding elsewhere (caller
+// pre-zeroes).  Parallel over segments.
+// ---------------------------------------------------------------------
+template <typename T>
+static void ell_fill_impl(const int64_t* seg_start, const int64_t* seg_len,
+                          const int32_t* indices, const T* data, int64_t nseg,
+                          int64_t w, int32_t* out_cols, T* out_vals) {
+#pragma omp parallel for schedule(dynamic, 256)
+    for (int64_t s = 0; s < nseg; ++s) {
+        const int64_t st = seg_start[s];
+        const int64_t len = seg_len[s];
+        int32_t* oc = out_cols + s * w;
+        T* ov = out_vals + s * w;
+        for (int64_t j = 0; j < len; ++j) {
+            oc[j] = indices[st + j];
+            ov[j] = data[st + j];
+        }
+    }
+}
+
+extern "C" {
+
+void ell_fill_f32(const int64_t* seg_start, const int64_t* seg_len,
+                  const int32_t* indices, const float* data, int64_t nseg,
+                  int64_t w, int32_t* out_cols, float* out_vals) {
+    ell_fill_impl<float>(seg_start, seg_len, indices, data, nseg, w, out_cols, out_vals);
+}
+
+void ell_fill_f64(const int64_t* seg_start, const int64_t* seg_len,
+                  const int32_t* indices, const double* data, int64_t nseg,
+                  int64_t w, int32_t* out_cols, double* out_vals) {
+    ell_fill_impl<double>(seg_start, seg_len, indices, data, nseg, w, out_cols, out_vals);
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // ---------------------------------------------------------------------
 // Factorize int64 ids in first-occurrence order (pd.factorize semantics
 // for integer keys).  Returns the number of uniques.

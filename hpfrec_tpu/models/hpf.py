@@ -306,6 +306,13 @@ class HPF:
             raise ValueError("If 'stop_crit' is set to 'val-llk', must provide a validation set.")
 
         self._require_x64_if_needed()
+        try:
+            from .. import _native
+
+            if _native.available():
+                _native.set_num_threads(self.ncores)
+        except Exception:
+            pass
         if self.verbose:
             self._print_st_msg()
 

@@ -89,15 +89,20 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         vals = np.zeros((m_pad, w), dtype=dtype)
         rows_arr = np.zeros(m_pad, dtype=np.int32)
         rows_arr[:m] = seg_row[sel]
-        # vectorized ragged fill
         lens = seg_len[sel]
-        flat_rows = np.repeat(np.arange(m, dtype=np.int64), lens)
-        flat_cols = (np.arange(int(lens.sum()), dtype=np.int64)
-                     - np.repeat(np.cumsum(lens) - lens, lens))
-        src = (np.repeat(seg_start[sel], lens)
-               + flat_cols)
-        cols[flat_rows, flat_cols] = indices[src]
-        vals[flat_rows, flat_cols] = data[src]
+        try:
+            from .._native import ell_fill  # parallel C++ fill
+
+            ell_fill(seg_start[sel], lens, indices, data.astype(dtype, copy=False),
+                     cols[:m], vals[:m])
+        except Exception:
+            # vectorized ragged fill (numpy fallback)
+            flat_rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+            flat_cols = (np.arange(int(lens.sum()), dtype=np.int64)
+                         - np.repeat(np.cumsum(lens) - lens, lens))
+            src = np.repeat(seg_start[sel], lens) + flat_cols
+            cols[flat_rows, flat_cols] = indices[src]
+            vals[flat_rows, flat_cols] = data[src]
         buckets.append(EllBucket(rows=rows_arr, cols=cols, vals=vals))
         seg_positions[sel] = pos + np.arange(m, dtype=np.int64)
         order_all.append(sel)
