@@ -41,7 +41,7 @@ def main():
     nI = int(os.environ.get("BENCH_NITEMS", 40_000))
     nnz = int(os.environ.get("BENCH_NNZ", 10_000_000))
     k = int(os.environ.get("BENCH_K", 50))
-    iters = int(os.environ.get("BENCH_ITERS", 12))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
     engine = os.environ.get("BENCH_ENGINE", "auto")
 
     import jax
@@ -80,9 +80,13 @@ def main():
 
     timed(2)  # compile
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    per_iter = min(
-        (timed(2 + iters) - timed(2)) / iters for _ in range(repeats)
-    )
+    # min() of each run length separately: the min is the clean-machine
+    # estimate of that length's cost, and their difference is the
+    # steady-state per-iteration time.  (min of the *differences* would be
+    # biased fast under this environment's +-50% throughput noise.)
+    d_small = min(timed(2) for _ in range(repeats))
+    d_big = min(timed(2 + iters) for _ in range(repeats))
+    per_iter = (d_big - d_small) / iters
 
     value = nnz / per_iter
     baseline = 1.85e6

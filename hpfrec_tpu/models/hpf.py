@@ -75,7 +75,8 @@ class HPF:
                  alloc_full_phi=False, keep_data=True, save_folder=None,
                  produce_dicts=True, keep_all_objs=True, sum_exp_trick=False,
                  *, mesh=None, block_size=None, engine="ell",
-                 checkpoint_folder=None, checkpoint_every=None, halt_on_nan=True):
+                 checkpoint_folder=None, checkpoint_every=None, halt_on_nan=True,
+                 profile_dir=None):
 
         ## input checks — mirrors reference __init__ validation
         ## (hpfrec/__init__.py:214-314)
@@ -198,6 +199,8 @@ class HPF:
         self.checkpoint_folder = checkpoint_folder
         self.checkpoint_every = checkpoint_every
         self.halt_on_nan = bool(halt_on_nan)
+        self.profile_dir = profile_dir
+        self.fit_stats_ = None
 
         if not self.reindex:
             self.produce_dicts = False
@@ -389,11 +392,16 @@ class HPF:
             print("Initializing optimization procedure...")
         st_time = time.time()
 
-        if svi_mode:
-            state = self._run_svi(state, pdata, data, nnz, val_data, val_nnz, hp, mesh)
-        else:
-            state = self._run_full_batch(state, data, nnz, val_data, val_nnz, hp, mesh,
-                                         pdata=pdata)
+        from ..utils.profiling import FitStats, maybe_trace
+
+        stats = FitStats(nnz=nnz).start()
+        with maybe_trace(self.profile_dir):
+            if svi_mode:
+                state = self._run_svi(state, pdata, data, nnz, val_data, val_nnz, hp, mesh)
+            else:
+                state = self._run_full_batch(state, data, nnz, val_data, val_nnz, hp,
+                                             mesh, pdata=pdata)
+        self.fit_stats_ = stats.stop(self.niter + 1)
 
         end_tm = (time.time() - st_time) / 60.0
         self._final_eval(state, data, nnz, val_data, val_nnz, val_arrays)

@@ -240,7 +240,7 @@ def segment_table_sums(seg, layout: EllLayout):
     return out
 
 
-def all_bucket_sums(t_self, t_other, buckets, row_chunk: int = 256):
+def all_bucket_sums(t_self, t_other, buckets, row_chunk: int = 2048):
     """Concatenated per-segment phi sums over all buckets: (m_total, k)."""
     import jax.numpy as jnp
 
@@ -251,7 +251,7 @@ def all_bucket_sums(t_self, t_other, buckets, row_chunk: int = 256):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
-def ell_phi_sums(t_self, t_other, layout: EllLayout, row_chunk: int = 256):
+def ell_phi_sums(t_self, t_other, layout: EllLayout, row_chunk: int = 2048):
     """Per-table-row phi sums, shape (n_rows, k).  Scatter-free."""
     return segment_table_sums(
         all_bucket_sums(t_self, t_other, layout.buckets, row_chunk), layout)
