@@ -74,7 +74,7 @@ class HPF:
                  random_seed=None, allow_inconsistent_math=False, full_llk=False,
                  alloc_full_phi=False, keep_data=True, save_folder=None,
                  produce_dicts=True, keep_all_objs=True, sum_exp_trick=False,
-                 *, mesh=None, block_size=None, engine="ell",
+                 *, mesh=None, block_size=None, engine="ell", shard_tables=False,
                  checkpoint_folder=None, checkpoint_every=None, halt_on_nan=True,
                  profile_dir=None):
 
@@ -194,6 +194,7 @@ class HPF:
         self.block_size = block_size
         assert engine in ("ell", "coo")
         self.engine = engine
+        self.shard_tables = bool(shard_tables)
         if checkpoint_every is not None:
             assert isinstance(checkpoint_every, int) and checkpoint_every > 0
         self.checkpoint_folder = checkpoint_folder
@@ -499,6 +500,26 @@ class HPF:
         import jax.numpy as jnp
 
         n_dev = 1 if mesh is None else len(mesh.devices.ravel())
+        if self.engine == "ell" and self.shard_tables and n_dev > 1:
+            # model-parallel mode: tables row-sharded across the mesh, each
+            # device owns its rows' nonzeros; see parallel/table_sharded.py
+            from ..parallel.table_sharded import (build_sharded_ell,
+                                                  make_table_sharded_step)
+
+            nU_p = data_utils._next_multiple(self.nusers, n_dev)
+            nI_p = data_utils._next_multiple(self.nitems, n_dev)
+            indptr_u, ind_u, dat_u = data_utils.build_csr(
+                pdata.ix_u, pdata.ix_i, pdata.y, self.nusers, self.nitems)
+            indptr_i, ind_i, dat_i = data_utils.build_csr(
+                pdata.ix_i, pdata.ix_u, pdata.y, self.nitems, self.nusers)
+            ip_u = np.concatenate([indptr_u, np.full(nU_p - self.nusers, indptr_u[-1])])
+            ip_i = np.concatenate([indptr_i, np.full(nI_p - self.nitems, indptr_i[-1])])
+            se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, n_dev, dtype=self._dtype)
+            se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, n_dev, dtype=self._dtype)
+            self._table_shard_pad = (nU_p, nI_p)
+            return make_table_sharded_step(mesh, se_u, se_i, hp,
+                                           self.nusers, self.nitems)
+
         if self.engine == "ell":
             from ..ops.ell import build_ell, device_ell, run_cavi_block_ell
 
@@ -545,7 +566,12 @@ class HPF:
         import jax.numpy as jnp
 
         self._fit_data = data
+        self._table_shard_pad = None
         runner = self._make_runner(pdata, hp, mesh)
+        if self._table_shard_pad is not None:
+            from ..parallel.table_sharded import pad_state
+
+            state = pad_state(state, *self._table_shard_pad)
         self._last_llk = 0.0
         self._last_rmse = 0.0
         last_crit = None
@@ -570,6 +596,13 @@ class HPF:
             if stop:
                 break
         self.niter = iters_done - 1
+        if self._table_shard_pad is not None:
+            from .state import VariationalState
+
+            state = VariationalState(
+                G_shp=state.G_shp[:self.nusers], G_rte=state.G_rte[:self.nusers],
+                L_shp=state.L_shp[:self.nitems], L_rte=state.L_rte[:self.nitems],
+                k_rte=state.k_rte[:self.nusers], t_rte=state.t_rte[:self.nitems])
         return state
 
     def _run_svi(self, state, pdata, data, nnz, val_data, val_nnz, hp, mesh):

@@ -111,12 +111,15 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     # inverse permutation: first segment of every row
     inv_perm = seg_positions[first_seg[:-1]]
 
+    # split rows: positions of the segments BEYOND the first (the first is
+    # covered by inv_perm); the patch is additive, so padded/unused slots
+    # (-1 -> the appended zero row) and even duplicate row ids are inert.
     split = np.nonzero(nseg_per_row > 1)[0]
     if len(split):
-        max_segs = int(nseg_per_row[split].max())
+        max_segs = int(nseg_per_row[split].max()) - 1
         split_seg_pos = np.full((len(split), max_segs), -1, dtype=np.int64)
         for j, r in enumerate(split):
-            sp = seg_positions[first_seg[r]:first_seg[r + 1]]
+            sp = seg_positions[first_seg[r] + 1:first_seg[r + 1]]
             split_seg_pos[j, :len(sp)] = sp
     else:
         split_seg_pos = np.zeros((0, 1), dtype=np.int64)
@@ -228,15 +231,17 @@ def run_cavi_block_ell(state, ell_u: EllLayout, ell_i: EllLayout, niter, hp,
 
 def segment_table_sums(seg, layout: EllLayout):
     """Reassemble per-segment sums (m_total, k) into table order (n_rows, k):
-    one inverse-permutation gather, plus a tiny dense patch for split rows."""
+    one inverse-permutation gather (each row's first segment), plus an
+    additive patch summing split rows' remaining segments.  Invalid
+    positions (-1 / total_segs) hit an appended zero row, so padding — and
+    duplicate slot row ids — contribute nothing."""
     import jax.numpy as jnp
 
     out = seg[layout.inv_perm]
     if layout.split_seg_pos.shape[0]:
-        # pad position -1 -> a zero row appended at the end
         segz = jnp.concatenate([seg, jnp.zeros((1, seg.shape[1]), seg.dtype)], axis=0)
         extra = jnp.sum(segz[layout.split_seg_pos], axis=1)  # (n_split, k)
-        out = out.at[layout.split_rows].set(extra, mode="promise_in_bounds")
+        out = out.at[layout.split_rows].add(extra, mode="promise_in_bounds")
     return out
 
 

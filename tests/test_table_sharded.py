@@ -1,0 +1,136 @@
+"""Table-sharded (model-parallel) engine vs the replicated single-device
+engine, on the 8-device virtual mesh."""
+
+import numpy as np
+
+from oracle import synth_counts
+
+
+def _csr(y, rows, cols, n):
+    from scipy.sparse import coo_array
+
+    X = coo_array((y, (rows, cols)), shape=(n, int(cols.max()) + 1)).tocsr()
+    return X.indptr.astype(np.int64), X.indices.astype(np.int32), X.data.astype(np.float32)
+
+
+def test_table_sharded_step_matches_replicated():
+    import jax
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.ops.ell import build_ell, cavi_step_ell, device_ell
+    from hpfrec_tpu.parallel import make_mesh
+    from hpfrec_tpu.parallel.table_sharded import (build_sharded_ell,
+                                                   make_table_sharded_step,
+                                                   pad_state)
+
+    assert len(jax.devices()) == 8
+    nU, nI, k = 83, 45, 6  # deliberately not multiples of 8
+    y, iu, ii = synth_counts(nU, nI, nnz=1100, seed=5)
+    hp = Hyperparams(k=k)
+    state0 = initialize_state(nU, nI, hp, 31)
+
+    # reference: replicated single-device ELL, 3 iterations
+    indptr_u, ind_u, dat_u = _csr(y, iu, ii, nU)
+    indptr_i, ind_i, dat_i = _csr(y, ii, iu, nI)
+    lu = device_ell(build_ell(indptr_u, ind_u, dat_u, nU, max_width=32))
+    li = device_ell(build_ell(indptr_i, ind_i, dat_i, nI, max_width=32))
+    ref = state0
+    for _ in range(3):
+        ref = cavi_step_ell(ref, lu, li, hp)
+
+    # table-sharded: pad rows to multiples of 8
+    mesh = make_mesh()
+    nU_p = ((nU + 7) // 8) * 8
+    nI_p = ((nI + 7) // 8) * 8
+    ip_u = np.concatenate([indptr_u, np.full(nU_p - nU, indptr_u[-1])])
+    ip_i = np.concatenate([indptr_i, np.full(nI_p - nI, indptr_i[-1])])
+    se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, 8, max_width=32)
+    se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, 8, max_width=32)
+    run = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI)
+
+    padded = pad_state(state0, nU_p, nI_p)
+    out = run(padded, jnp.asarray(3, jnp.int32))
+
+    np.testing.assert_allclose(np.asarray(out.G_shp)[:nU], np.asarray(ref.G_shp),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.L_shp)[:nI], np.asarray(ref.L_shp),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.G_rte)[:nU], np.asarray(ref.G_rte),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.L_rte)[:nI], np.asarray(ref.L_rte),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.k_rte)[:nU], np.asarray(ref.k_rte),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_hpf_fit_shard_tables_matches_single_device():
+    """HPF.fit(shard_tables=True) on the 8-device mesh == plain fit."""
+    import pandas as pd
+
+    import jax
+
+    from hpfrec_tpu import HPF
+    from hpfrec_tpu.parallel import make_mesh
+
+    y, iu, ii = synth_counts(83, 45, nnz=1000, seed=6)
+    df = pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
+
+    m1 = HPF(k=6, maxiter=10, check_every=5, stop_crit="maxiter",
+             random_seed=4, verbose=False, mesh=make_mesh(jax.devices()[:1]))
+    m1.fit(df.copy())
+    mt = HPF(k=6, maxiter=10, check_every=5, stop_crit="maxiter",
+             random_seed=4, verbose=False, mesh=make_mesh(), shard_tables=True)
+    mt.fit(df.copy())
+
+    np.testing.assert_allclose(mt.Theta, m1.Theta, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(mt.Beta, m1.Beta, rtol=1e-4, atol=1e-6)
+    assert mt.Theta.shape == m1.Theta.shape  # padding sliced off
+
+
+def test_table_sharded_with_split_rows():
+    """Degree outliers split across segments still sum correctly when
+    sharded (max_width smaller than the head item's degree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.ops.ell import build_ell, cavi_step_ell, device_ell
+    from hpfrec_tpu.parallel import make_mesh
+    from hpfrec_tpu.parallel.table_sharded import (build_sharded_ell,
+                                                   make_table_sharded_step,
+                                                   pad_state)
+
+    rng = np.random.default_rng(0)
+    nU, nI, k = 64, 16, 5
+    # item 0 is a catalog head: almost every user interacts with it
+    iu = np.concatenate([np.arange(nU), rng.integers(0, nU, 300)]).astype(np.int32)
+    ii = np.concatenate([np.zeros(nU, np.int32),
+                         rng.integers(1, nI, 300).astype(np.int32)])
+    key = iu.astype(np.int64) * nI + ii
+    uniq = np.unique(key)
+    iu = (uniq // nI).astype(np.int32)
+    ii = (uniq % nI).astype(np.int32)
+    y = (rng.poisson(2, len(uniq)) + 1).astype(np.float32)
+    order = np.argsort(iu, kind="stable")
+    iu, ii, y = iu[order], ii[order], y[order]
+
+    hp = Hyperparams(k=k)
+    state0 = initialize_state(nU, nI, hp, 3)
+    indptr_u, ind_u, dat_u = _csr(y, iu, ii, nU)
+    indptr_i, ind_i, dat_i = _csr(y, ii, iu, nI)
+
+    lu = device_ell(build_ell(indptr_u, ind_u, dat_u, nU, max_width=16))
+    li = device_ell(build_ell(indptr_i, ind_i, dat_i, nI, max_width=16))
+    ref = cavi_step_ell(state0, lu, li, hp)
+
+    mesh = make_mesh()
+    se_u = build_sharded_ell(indptr_u, ind_u, dat_u, nU, 8, max_width=16)
+    se_i = build_sharded_ell(indptr_i, ind_i, dat_i, nI, 8, max_width=16)
+    run = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI)
+    out = run(pad_state(state0, nU, nI), jnp.asarray(1, jnp.int32))
+
+    np.testing.assert_allclose(np.asarray(out.L_shp), np.asarray(ref.L_shp),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.G_shp), np.asarray(ref.G_shp),
+                               rtol=1e-5, atol=1e-6)
