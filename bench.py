@@ -60,7 +60,10 @@ def main():
         indptr_i, ind_i, dat_i = build_csr(ii, iu, y, nI, nU)
         ell_u = device_ell(build_ell(indptr_u, ind_u, dat_u, nU))
         ell_i = device_ell(build_ell(indptr_i, ind_i, dat_i, nI))
-        runner = jax.jit(lambda st, n: run_cavi_block_ell(st, ell_u, ell_i, n, hp))
+        # layouts as jit args (not closures) so they are buffers, not
+        # embedded HLO constants
+        jitted = jax.jit(run_cavi_block_ell, static_argnames=("hp", "phi_sums_fn"))
+        runner = lambda st, n: jitted(st, ell_u, ell_i, n, hp=hp)  # noqa: E731
     else:
         from hpfrec_tpu.ops.cavi import BlockedCOO, run_cavi_block
         from hpfrec_tpu.utils.data import block_coo

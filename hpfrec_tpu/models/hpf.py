@@ -537,22 +537,30 @@ class HPF:
 
                 ell_u = shard_ell_layout(ell_u, mesh)
                 ell_i = shard_ell_layout(ell_i, mesh)
-                nb = max(len(ell_u.buckets), len(ell_i.buckets))
                 fn_u = make_sharded_ell_phi_sums(mesh, len(ell_u.buckets))
                 fn_i = make_sharded_ell_phi_sums(mesh, len(ell_i.buckets))
+                n_bu = len(ell_u.buckets)
 
                 def phi_sums_fn(t_self, t_other, layout):
-                    fn = fn_u if layout is ell_u else fn_i
-                    return fn(t_self, t_other, layout)
+                    # user layout iff it has the user-side bucket count and
+                    # user-table row count (trace-time dispatch)
+                    is_user = (len(layout.buckets) == n_bu
+                               and layout.inv_perm.shape[0] == self.nusers)
+                    return (fn_u if is_user else fn_i)(t_self, t_other, layout)
             else:
                 ell_u = device_ell(ell_u)
                 ell_i = device_ell(ell_i)
                 phi_sums_fn = None
 
-            return jax.jit(
-                lambda st, n: run_cavi_block_ell(st, ell_u, ell_i, n, hp,
-                                                 phi_sums_fn=phi_sums_fn),
-                donate_argnums=(0,))
+            # NOTE: layouts are passed as ARGUMENTS — closing over device
+            # arrays embeds them as HLO constants, which blows up the
+            # program at large nnz (observed: compile-payload overflow at
+            # 48M nonzeros).
+            jitted = jax.jit(run_cavi_block_ell,
+                             static_argnames=("hp", "phi_sums_fn"),
+                             donate_argnums=(0,))
+            return lambda st, n: jitted(st, ell_u, ell_i, n, hp=hp,
+                                        phi_sums_fn=phi_sums_fn)
 
         from ..ops.cavi import run_cavi_block
 

@@ -242,13 +242,32 @@ def make_table_sharded_step(mesh, ell_u: ShardedEll, ell_i: ShardedEll,
         check_vma=False,
     )
 
-    flat_all = flat_bucket_arrays(ell_u) + flat_bucket_arrays(ell_i)
+    # pass the layout arrays as jit ARGUMENTS (closing over device arrays
+    # embeds them as HLO constants — payload blow-up at large nnz); place
+    # them pre-sharded so calls don't re-transfer
+    from jax.sharding import NamedSharding
+
+    def _put(a, spec):
+        return jax.device_put(np.asarray(a), NamedSharding(mesh, spec))
+
+    flat_all = []
+    for se in (ell_u, ell_i):
+        for b in se.buckets:
+            flat_all += [_put(b.rows, P(DATA_AXIS, None)),
+                         _put(b.cols, P(DATA_AXIS, None, None)),
+                         _put(b.vals, P(DATA_AXIS, None, None))]
+        flat_all += [_put(se.inv_perm, P(DATA_AXIS, None)),
+                     _put(se.split_rows, P(DATA_AXIS, None)),
+                     _put(se.split_seg_pos, P(DATA_AXIS, None, None))]
 
     @jax.jit
-    def run(state: VariationalState, niter):
+    def _run(state: VariationalState, niter, *flat):
         out = sharded(niter, state.G_shp, state.G_rte, state.L_shp, state.L_rte,
-                      state.k_rte, state.t_rte, *flat_all)
+                      state.k_rte, state.t_rte, *flat)
         return VariationalState(*out)
+
+    def run(state: VariationalState, niter):
+        return _run(state, niter, *flat_all)
 
     return run
 
