@@ -53,16 +53,129 @@ class HPF:
     Model: ``Y_ui ~ Poisson(Theta_u . Beta_i)`` with Gamma priors and
     per-user/per-item Gamma activity/popularity scalers, fit by mean-field
     coordinate-ascent variational inference (CAVI), optionally mini-batch
-    stochastic variational inference (SVI).
+    stochastic variational inference (SVI).  Generative model::
 
-    Parameters mirror the reference ``HPF.__init__``
-    (``hpfrec/__init__.py:205-358``); see that docstring for the full
-    parameter semantics.  Extra keyword-only parameters:
+        ksi_u  ~ Gamma(a_prime, a_prime/b_prime)   theta_uk ~ Gamma(a, ksi_u)
+        eta_i  ~ Gamma(c_prime, c_prime/d_prime)   beta_ik  ~ Gamma(c, eta_i)
+        Y_ui   ~ Poisson(theta_u . beta_i)
 
+    The constructor signature and defaults match the reference ``HPF``
+    (``hpfrec/__init__.py:205-358``); reference user code runs unchanged
+    after switching the import.
+
+    Parameters
+    ----------
+    k : int
+        Number of latent factors.
+    a, a_prime, b_prime : float
+        User-side priors: ``a`` is the shape of each ``theta_uk``;
+        ``a_prime``/``b_prime`` shape the per-user activity scaler ``ksi_u``
+        (its prior mean is ``b_prime``).
+    c, c_prime, d_prime : float
+        Item-side priors, mirroring ``a``/``a_prime``/``b_prime`` for
+        ``beta_ik`` and the per-item popularity scaler ``eta_i``.
+    ncores : int
+        Threads for the *host-side* C++ data preparation (CSR build, ELL
+        packing, batch gathers).  Device parallelism comes from ``mesh``.
+        ``-1`` = all CPUs.
+    stop_crit : 'maxiter' | 'train-llk' | 'val-llk' | 'diff-norm'
+        Stopping criterion: a fixed iteration budget, relative change of
+        the training/validation Poisson log-likelihood, or the Frobenius
+        norm of the ``Theta`` delta.  'val-llk' requires a ``val_set`` in
+        ``fit`` (falls back to 'train-llk' if the validation set shares no
+        users/items with training).
+    check_every : int or None
+        Evaluate the stopping criterion (and print progress) every this
+        many iterations.
+    stop_thr : float
+        Relative-change threshold: stop when ``1 - crit/crit_prev <=
+        stop_thr`` (or when ``||dTheta|| < stop_thr`` for 'diff-norm').
+    users_per_batch, items_per_batch : int or None
+        Switch to mini-batch SVI with this many users (items) per batch;
+        setting both alternates user-epochs and item-epochs.  None (both) =
+        full-batch CAVI.
+    step_size : callable int -> float in [0, 1]
+        SVI step-size schedule by iteration number.  Default
+        ``1/sqrt(x + 2)``.
+    maxiter : int or None
+        Maximum iterations (epochs under SVI).
+    use_float : bool
+        float32 (True, default) or float64 compute and storage.  float64
+        enables JAX x64 mode on first use.
+    reindex : bool
+        Factorize arbitrary user/item IDs to contiguous rows (True), or
+        treat inputs as already-contiguous non-negative integers (False —
+        required for ``partial_fit``).
+    verbose : bool
+        Print the reference-format progress lines (banner, data info,
+        per-check llk/RMSE or norm-diff, final summary with minutes taken).
+    random_seed : int or None
+        Seed for parameter initialization and SVI shuffling.  Fixed
+        (seed, dtype, mesh shape) gives bit-identical runs; the seeded init
+        reproduces the reference's MT19937 bitstream exactly.
+    allow_inconsistent_math : bool
+        Accepted for API parity; a no-op here.  The segment-sum E-step is
+        deterministic by construction — there is no racy scatter to opt
+        into (reference ``cython_loops.pxi:598-606``).
+    full_llk : bool
+        Include the ``-lgamma(Y+1)`` constant in reported log-likelihoods.
+    alloc_full_phi : bool
+        Accepted for API parity; a no-op — phi is never materialized at
+        ``(nnz, k)``; the E-step is always fused.
+    keep_data : bool
+        Keep the seen-items CSR metadata needed by
+        ``topN(exclude_seen=True)``.
+    save_folder : str or None
+        If set, write the reference's exact end-of-fit file set there:
+        ``users.csv``/``items.csv`` ID mappings, ``hyperparameters.txt``,
+        and the 8 parameter matrices as ``%.10f`` CSVs.
+    produce_dicts : bool
+        Build ``user_dict_``/``item_dict_`` (original ID -> row) for O(1)
+        serving-time lookup.
+    keep_all_objs : bool
+        Keep the full variational state (``Gamma_shp`` … ``t_rte``) as
+        attributes between calls (required by ``partial_fit``/``add_user``).
+    sum_exp_trick : bool
+        Accepted for API parity; effectively always on — the log-sum-exp
+        stabilization cancels inside the factorized softmax at zero cost.
+
+    Keyword-only extensions (no reference analogue)
+    -----------------------------------------------
     mesh : jax.sharding.Mesh or None
-        Device mesh for data-parallel execution. None = all local devices.
+        Device mesh for SPMD execution.  None = all local devices.
     block_size : int or None
-        Nonzeros per compute block (None = auto).
+        Nonzeros per compute block in the COO engine (None = auto).
+    engine : 'ell' | 'coo'
+        'ell' (default): scatter-free bucketed-ELL engine.  'coo': blocked
+        segment-sum engine (simpler; used as a cross-check).
+    shard_tables : bool
+        Row-shard both factor tables over the mesh (model parallelism) for
+        catalogs beyond replicated-table capacity.
+    checkpoint_folder, checkpoint_every : str/int or None
+        Write a resumable checkpoint (variational arrays + iteration +
+        shuffle RNG) every N iterations; resume with ``fit(...,
+        resume=True)``.
+    halt_on_nan : bool
+        Raise at the next convergence check if the state went non-finite
+        (the reference silently produces NaN factors).
+    profile_dir : str or None
+        Write a ``jax.profiler`` trace of the fit loop to this directory.
+
+    Attributes
+    ----------
+    Theta : ndarray (nusers, k)
+        Posterior-mean user factors (after ``fit``).
+    Beta : ndarray (nitems, k)
+        Posterior-mean item factors.
+    user_mapping_, item_mapping_ : ndarray
+        Position -> original ID (when ``reindex=True``).
+    user_dict_, item_dict_ : dict
+        Original ID -> position (when ``produce_dicts=True``).
+    is_fitted : bool
+    niter : int
+        Iterations actually run.
+    train_llk : float
+        Final training log-likelihood (criterion-dependent).
     """
 
     def __init__(self, k=30, a=0.3, a_prime=0.3, b_prime=1.0,
