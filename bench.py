@@ -62,8 +62,14 @@ def main():
         ell_i = device_ell(build_ell(indptr_i, ind_i, dat_i, nI))
         # layouts as jit args (not closures) so they are buffers, not
         # embedded HLO constants
-        jitted = jax.jit(run_cavi_block_ell, static_argnames=("hp", "phi_sums_fn"))
-        runner = lambda st, n: jitted(st, ell_u, ell_i, n, hp=hp)  # noqa: E731
+        from hpfrec_tpu.ops.ell import gather_table_dtype
+
+        gd = gather_table_dtype(max(nU, nI), k,
+                                mode=os.environ.get("BENCH_GATHER_DTYPE", "auto"))
+        jitted = jax.jit(run_cavi_block_ell,
+                         static_argnames=("hp", "phi_sums_fn", "gather_dtype"))
+        runner = lambda st, n: jitted(st, ell_u, ell_i, n, hp=hp,  # noqa: E731
+                                      gather_dtype=gd)
     else:
         from hpfrec_tpu.ops.cavi import BlockedCOO, run_cavi_block
         from hpfrec_tpu.utils.data import block_coo
@@ -73,15 +79,30 @@ def main():
                           jnp.asarray(blk.ix_i))
         runner = lambda st, n: run_cavi_block(st, data, n, hp)  # noqa: E731
 
+    # Calibrate a per-dispatch iteration cap: a single dispatch running
+    # >~60 s can crash the TPU worker (RPC watchdog), so long runs are
+    # chained as short dispatches (measured overhead <10%, and it biases
+    # the reported throughput DOWN — conservative).
+    budget = float(os.environ.get("HPFREC_TPU_DISPATCH_BUDGET_S", "30"))
+    st = runner(initialize_state(nU, nI, hp, 123), jnp.asarray(2, jnp.int32))
+    float(jnp.sum(st.k_rte))  # compile + warm
+    t0 = time.perf_counter()
+    st = runner(st, jnp.asarray(1, jnp.int32))
+    float(jnp.sum(st.k_rte))
+    per_iter_est = max(time.perf_counter() - t0, 1e-6)
+    cap = max(1, int(budget / per_iter_est)) if budget > 0 else 10 ** 9
+
     def timed(n):
         st = initialize_state(nU, nI, hp, 123)
         t0 = time.perf_counter()
-        st = runner(st, jnp.asarray(n, jnp.int32))
+        done = 0
+        while done < n:
+            m = min(cap, n - done)
+            st = runner(st, jnp.asarray(m, jnp.int32))
+            done += m
         checksum = float(jnp.sum(st.k_rte))  # host readback forces completion
         assert np.isfinite(checksum), "bench produced invalid state"
         return time.perf_counter() - t0
-
-    timed(2)  # compile
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     # min() of each run length separately: the min is the clean-machine
     # estimate of that length's cost, and their difference is the

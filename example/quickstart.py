@@ -38,6 +38,12 @@ def main():
     # --- evaluation ---------------------------------------------------
     print("\nheld-out llk:", model.eval_llk(val.copy()))
 
+    from hpfrec_tpu.utils import evaluation as ev
+
+    report = ev.evaluate(model, val, k=10, exclude_seen=True, random_seed=7)
+    print("ranking eval:", {kk: round(v, 4) if isinstance(v, float) else v
+                            for kk, v in report.items()})
+
     # --- serving ------------------------------------------------------
     some_user = train["UserId"].iloc[0]
     print("top-10 for user", some_user, ":", model.topN(user=some_user, n=10))

@@ -158,6 +158,15 @@ class HPF:
     halt_on_nan : bool
         Raise at the next convergence check if the state went non-finite
         (the reference silently produces NaN factors).
+    gather_dtype : 'auto' | 'float32' | 'bfloat16'
+        Storage dtype of the per-iteration expectation tables during the
+        E-step gathers.  TPU row-gather throughput drops ~10x once the
+        table exceeds the chip's fast-gather window (measured: ~225 M
+        rows/s under 40 MB, ~23 M rows/s beyond 128 MB), so 'auto'
+        switches the gathered copies to bfloat16 when a float32 table
+        would exceed 64 MB (float32 mode only); all arithmetic stays
+        float32.  Model quality is unaffected at scale (llk curves agree
+        to <0.1%); small problems keep bit-exact float32.
     profile_dir : str or None
         Write a ``jax.profiler`` trace of the fit loop to this directory.
 
@@ -189,7 +198,7 @@ class HPF:
                  produce_dicts=True, keep_all_objs=True, sum_exp_trick=False,
                  *, mesh=None, block_size=None, engine="ell", shard_tables=False,
                  checkpoint_folder=None, checkpoint_every=None, halt_on_nan=True,
-                 profile_dir=None):
+                 profile_dir=None, gather_dtype="auto"):
 
         ## input checks — mirrors reference __init__ validation
         ## (hpfrec/__init__.py:214-314)
@@ -314,6 +323,8 @@ class HPF:
         self.checkpoint_every = checkpoint_every
         self.halt_on_nan = bool(halt_on_nan)
         self.profile_dir = profile_dir
+        assert gather_dtype in ("auto", "float32", "bfloat16")
+        self.gather_dtype = gather_dtype
         self.fit_stats_ = None
 
         if not self.reindex:
@@ -634,7 +645,16 @@ class HPF:
                                            self.nusers, self.nitems)
 
         if self.engine == "ell":
-            from ..ops.ell import build_ell, device_ell, run_cavi_block_ell
+            from ..ops.ell import (build_ell, device_ell, gather_table_dtype,
+                                   run_cavi_block_ell)
+
+            # bfloat16 gather tables once either side's float32 table
+            # outgrows the fast-gather window ('auto' applies only in
+            # float32 mode; float64 users keep full precision)
+            gd = None
+            if self.gather_dtype == "bfloat16" or self.use_float:
+                gd = gather_table_dtype(max(self.nusers, self.nitems), self.k,
+                                        mode=self.gather_dtype)
 
             indptr_u, ind_u, dat_u = data_utils.build_csr(
                 pdata.ix_u, pdata.ix_i, pdata.y, self.nusers, self.nitems)
@@ -670,10 +690,12 @@ class HPF:
             # program at large nnz (observed: compile-payload overflow at
             # 48M nonzeros).
             jitted = jax.jit(run_cavi_block_ell,
-                             static_argnames=("hp", "phi_sums_fn"),
+                             static_argnames=("hp", "phi_sums_fn",
+                                              "gather_dtype"),
                              donate_argnums=(0,))
             return lambda st, n: jitted(st, ell_u, ell_i, n, hp=hp,
-                                        phi_sums_fn=phi_sums_fn)
+                                        phi_sums_fn=phi_sums_fn,
+                                        gather_dtype=gd)
 
         from ..ops.cavi import run_cavi_block
 
@@ -682,13 +704,55 @@ class HPF:
 
         return lambda st, n: run_cavi_block(st, data, n, hp, segment_sums_fn=seg_fn)
 
-    def _run_full_batch(self, state, data, nnz, val_data, val_nnz, hp, mesh,
-                        pdata=None):
+    def _capped_runner(self, runner):
+        """Wrap a ``(state, n) -> state`` runner so that no single device
+        dispatch exceeds a wall-time budget.
+
+        A single long-running XLA program can trip runtime watchdogs
+        (observed on v5e: the TPU worker process dies when one dispatch runs
+        beyond ~60 s, e.g. 12 chained iterations at 48M-nnz scale), so
+        ``check_every``-sized iteration blocks are split into sub-dispatches
+        sized from a measured per-iteration time.  Chained short dispatches
+        cost <10% overhead (measured) and are crash-safe.  Budget override:
+        ``HPFREC_TPU_DISPATCH_BUDGET_S`` (<=0 disables capping).
+        """
         import jax.numpy as jnp
 
+        budget = float(os.environ.get("HPFREC_TPU_DISPATCH_BUDGET_S", "30"))
+        if budget <= 0:
+            return lambda st, n: runner(st, jnp.asarray(int(n), jnp.int32))
+
+        def run(state, n):
+            n = int(n)
+            done = 0
+            if self._iters_per_dispatch is None and n > 0:
+                # first dispatch compiles; time the second, compile-free
+                state = runner(state, jnp.asarray(1, jnp.int32))
+                float(jnp.sum(state.k_rte))  # force completion
+                done = 1
+                if n > 1:
+                    t0 = time.perf_counter()
+                    state = runner(state, jnp.asarray(1, jnp.int32))
+                    float(jnp.sum(state.k_rte))
+                    per_iter = max(time.perf_counter() - t0, 1e-6)
+                    done = 2
+                    self._iters_per_dispatch = max(1, int(budget / per_iter))
+            while done < n:
+                m = n - done
+                if self._iters_per_dispatch is not None:
+                    m = min(m, self._iters_per_dispatch)
+                state = runner(state, jnp.asarray(m, jnp.int32))
+                done += m
+            return state
+
+        return run
+
+    def _run_full_batch(self, state, data, nnz, val_data, val_nnz, hp, mesh,
+                        pdata=None):
         self._fit_data = data
         self._table_shard_pad = None
-        runner = self._make_runner(pdata, hp, mesh)
+        self._iters_per_dispatch = None
+        runner = self._capped_runner(self._make_runner(pdata, hp, mesh))
         if self._table_shard_pad is not None:
             from ..parallel.table_sharded import pad_state
 
@@ -706,7 +770,7 @@ class HPF:
         chunk = self.check_every if self.check_every > 0 else self.maxiter
         while iters_done < self.maxiter:
             n = min(chunk, self.maxiter - iters_done)
-            state = runner(state, jnp.asarray(n, dtype=jnp.int32))
+            state = runner(state, n)
             iters_done += n
             stop = False
             if self.check_every > 0 and n == self.check_every:
@@ -864,6 +928,11 @@ class HPF:
         from ..ops import metrics as M
 
         self.train_llk = None
+        if self.stop_crit in ('train-llk', 'val-llk'):
+            # the criterion itself is the final metric; the last convergence
+            # check already computed it
+            self.train_llk = self._last_llk
+            return
         if self.stop_crit in ('diff-norm', 'maxiter') and self.verbose:
             Theta = state.G_shp / state.G_rte
             Beta = state.L_shp / state.L_rte

@@ -149,19 +149,26 @@ def _bucket_phi_sums(t_self, t_other, rows, cols, vals, row_chunk: int):
     phi[r, j, :] = vals[r, j] * (t_self[rows[r]] * t_other[cols[r, j]]) / <t_self[rows[r]], t_other[cols[r, j]]>
     returns sum_j phi[r, j, :].
     Chunked over rows via scan to bound the (chunk, w, k) intermediate.
+
+    ``t_self``/``t_other`` may arrive in a reduced gather dtype (bfloat16 —
+    see :func:`gather_table_dtype`); arithmetic always promotes to the
+    accumulation dtype right after the gather.
     """
     import jax
     import jax.numpy as jnp
 
     m, w = cols.shape
     k = t_self.shape[1]
+    acc_dt = jnp.float32 if t_self.dtype in (jnp.bfloat16, jnp.float32) else t_self.dtype
 
     def chunk_sums(rows_c, cols_c, vals_c):
         # factorized phi: p = t_self[row] * t_other[col]; phi = y * p / sum(p)
-        p = t_self[rows_c][:, None, :] * t_other[cols_c]  # (c, w, k)
+        p = (t_self[rows_c].astype(acc_dt)[:, None, :]
+             * t_other[cols_c].astype(acc_dt))  # (c, w, k)
         denom = jnp.sum(p, axis=-1)  # (c, w)
-        scale = jnp.where(denom > 0, vals_c / denom, 0.0)
-        return jnp.einsum("cw,cwk->ck", scale, p)
+        scale = jnp.where(denom > 0, vals_c.astype(acc_dt) / denom, 0.0)
+        return jnp.einsum("cw,cwk->ck", scale, p,
+                          preferred_element_type=acc_dt)
 
     if m * w <= row_chunk * 1024:  # small bucket: single shot
         return chunk_sums(rows, cols, vals)
@@ -185,13 +192,38 @@ def _bucket_phi_sums(t_self, t_other, rows, cols, vals, row_chunk: int):
     return out[:m]
 
 
+def gather_table_dtype(n_rows: int, k: int, itemsize: int = 4,
+                       mode: str = "auto"):
+    """Pick the dtype the expectation tables are *gathered* in.
+
+    Measured on v5e: XLA's row-gather throughput is a function of the
+    operand's total BYTES — ~225 M rows/s under ~40 MB, degrading smoothly
+    to ~23 M rows/s at >=128 MB (k and index distribution are irrelevant).
+    Casting the per-iteration exp tables to bfloat16 halves their bytes and
+    roughly doubles gather rate on large tables, while all arithmetic stays
+    float32 (cast-up straight after the gather).  ``mode``: 'auto' switches
+    to bfloat16 only when the float32 table exceeds the fast-gather window
+    (so small/medium problems keep bit-exact float32), 'bfloat16' forces
+    it, anything else keeps the compute dtype.
+    """
+    import jax.numpy as jnp
+
+    if mode == "bfloat16":
+        return jnp.bfloat16
+    if mode == "auto" and n_rows * k * itemsize > 64 * 1024 * 1024:
+        return jnp.bfloat16
+    return None
+
+
 def cavi_step_ell(state, ell_u: EllLayout, ell_i: EllLayout, hp,
-                  phi_sums_fn=None):
+                  phi_sums_fn=None, gather_dtype=None):
     """Full-batch CAVI iteration on the bucketed layout (same update order
     as ``cavi.cavi_step`` / reference ``cython_loops.pxi:227-259``), with
     both segment sums computed scatter-free.  phi is evaluated twice (once
     per side) — cheap next to any scatter.  ``phi_sums_fn`` lets the
-    sharded engine substitute its shard_map variant."""
+    sharded engine substitute its shard_map variant.  ``gather_dtype``
+    (None | jnp.bfloat16): storage dtype of the gathered exp tables; see
+    :func:`gather_table_dtype`."""
     import jax.numpy as jnp
 
     from ..models.state import VariationalState
@@ -200,6 +232,9 @@ def cavi_step_ell(state, ell_u: EllLayout, ell_i: EllLayout, hp,
     fn = phi_sums_fn if phi_sums_fn is not None else ell_phi_sums
     t_tab = exp_elog_tables(state.G_shp, state.G_rte)
     b_tab = exp_elog_tables(state.L_shp, state.L_rte)
+    if gather_dtype is not None:
+        t_tab = t_tab.astype(gather_dtype)
+        b_tab = b_tab.astype(gather_dtype)
     su = fn(t_tab, b_tab, ell_u)  # (nU, k)
     si = fn(b_tab, t_tab, ell_i)  # (nI, k) — roles swapped
 
@@ -218,13 +253,14 @@ def cavi_step_ell(state, ell_u: EllLayout, ell_i: EllLayout, hp,
 
 
 def run_cavi_block_ell(state, ell_u: EllLayout, ell_i: EllLayout, niter, hp,
-                       phi_sums_fn=None):
+                       phi_sums_fn=None, gather_dtype=None):
     """``niter`` ELL CAVI iterations in one XLA program (jit-cached by the
     caller; layouts are pytrees of arrays)."""
     import jax
 
     def body(_, st):
-        return cavi_step_ell(st, ell_u, ell_i, hp, phi_sums_fn=phi_sums_fn)
+        return cavi_step_ell(st, ell_u, ell_i, hp, phi_sums_fn=phi_sums_fn,
+                             gather_dtype=gather_dtype)
 
     return jax.lax.fori_loop(0, niter, body, state)
 

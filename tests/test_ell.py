@@ -129,3 +129,69 @@ def test_cavi_step_ell_matches_scatter_engine():
                        (out.k_rte, ref.k_rte, "k_rte"), (out.t_rte, ref.t_rte, "t_rte")]:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
                                    err_msg=name)
+
+
+def test_bf16_gather_tables_close_to_f32():
+    """gather_dtype=bfloat16 (the large-table fast path) must track the
+    float32 engine closely: tables are cast for the gather only, arithmetic
+    promotes back to float32."""
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.ops.ell import build_ell, cavi_step_ell, device_ell
+
+    nU, nI, k = 80, 50, 7
+    y, iu, ii = synth_counts(nU, nI, nnz=900, seed=3)
+    hp = Hyperparams(k=k)
+    state = initialize_state(nU, nI, hp, 21)
+
+    indptr_u, ind_u, dat_u = _csr(y, iu, ii, nU)
+    indptr_i, ind_i, dat_i = _csr(y, ii, iu, nI)
+    ell_u = device_ell(build_ell(indptr_u, ind_u, dat_u, nU))
+    ell_i = device_ell(build_ell(indptr_i, ind_i, dat_i, nI))
+
+    st32 = cavi_step_ell(state, ell_u, ell_i, hp)
+    st16 = cavi_step_ell(state, ell_u, ell_i, hp, gather_dtype=jnp.bfloat16)
+    assert st16.G_shp.dtype == st32.G_shp.dtype  # accumulation stays f32
+    np.testing.assert_allclose(np.asarray(st16.G_shp), np.asarray(st32.G_shp),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(st16.L_shp), np.asarray(st32.L_shp),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_gather_table_dtype_policy():
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.ops.ell import gather_table_dtype
+
+    assert gather_table_dtype(100_000, 50) is None            # 20 MB: fast f32
+    assert gather_table_dtype(1_000_000, 50) is jnp.bfloat16  # 200 MB: cliff
+    assert gather_table_dtype(1_000_000, 50, mode="float32") is None
+    assert gather_table_dtype(100, 5, mode="bfloat16") is jnp.bfloat16
+
+
+def test_hpf_fit_forced_bf16_gather():
+    import pandas as pd
+
+    from hpfrec_tpu import HPF
+
+    y, iu, ii = synth_counts(60, 40, nnz=500, seed=9)
+    df = pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
+    m32 = HPF(k=5, maxiter=60, verbose=False, random_seed=4,
+              gather_dtype="float32")
+    m32.fit(df.copy())
+    m16 = HPF(k=5, maxiter=60, verbose=False, random_seed=4,
+              gather_dtype="bfloat16")
+    m16.fit(df.copy())
+    # individual factors are identifiable only up to rotation, and on tiny
+    # data CAVI amplifies any perturbation into a different (equally good)
+    # mode — so compare model QUALITY, not trajectories.  (At realistic
+    # scale the llk curves agree to <0.1%; see PERFORMANCE.md.)
+    p32 = np.asarray(m32.predict(iu, ii), dtype=np.float64)
+    p16 = np.asarray(m16.predict(iu, ii), dtype=np.float64)
+    np.testing.assert_allclose(p16.mean(), p32.mean(), rtol=5e-2)
+    corr = np.corrcoef(p16, p32)[0, 1]
+    assert corr > 0.9, corr
+    l32 = m32.eval_llk(df.copy())["llk"]
+    l16 = m16.eval_llk(df.copy())["llk"]
+    assert abs(l16 - l32) / abs(l32) < 5e-2, (l16, l32)
