@@ -53,19 +53,23 @@ def main():
     y, iu, ii = synth_powerlaw(nU, nI, nnz)
 
     if engine in ("auto", "ell"):
-        from hpfrec_tpu.ops.ell import build_ell, device_ell, run_cavi_block_ell
+        from hpfrec_tpu.ops.ell import (build_ell, device_ell, gather_table_dtype,
+                                        plan_col_tiling, run_cavi_block_ell)
         from hpfrec_tpu.utils.data import build_csr
-
-        indptr_u, ind_u, dat_u = build_csr(iu, ii, y, nU, nI)
-        indptr_i, ind_i, dat_i = build_csr(ii, iu, y, nI, nU)
-        ell_u = device_ell(build_ell(indptr_u, ind_u, dat_u, nU))
-        ell_i = device_ell(build_ell(indptr_i, ind_i, dat_i, nI))
-        # layouts as jit args (not closures) so they are buffers, not
-        # embedded HLO constants
-        from hpfrec_tpu.ops.ell import gather_table_dtype
 
         gd = gather_table_dtype(max(nU, nI), k,
                                 mode=os.environ.get("BENCH_GATHER_DTYPE", "auto"))
+        g_item = 2 if gd is not None else 4
+        indptr_u, ind_u, dat_u = build_csr(iu, ii, y, nU, nI)
+        indptr_i, ind_i, dat_i = build_csr(ii, iu, y, nI, nU)
+        ell_u = device_ell(build_ell(indptr_u, ind_u, dat_u, nU,
+                                     col_chunk_rows=plan_col_tiling(nI, k, g_item),
+                                     n_cols=nI))
+        ell_i = device_ell(build_ell(indptr_i, ind_i, dat_i, nI,
+                                     col_chunk_rows=plan_col_tiling(nU, k, g_item),
+                                     n_cols=nU))
+        # layouts as jit args (not closures) so they are buffers, not
+        # embedded HLO constants
         jitted = jax.jit(run_cavi_block_ell,
                          static_argnames=("hp", "phi_sums_fn", "gather_dtype"))
         runner = lambda st, n: jitted(st, ell_u, ell_i, n, hp=hp,  # noqa: E731

@@ -646,7 +646,7 @@ class HPF:
 
         if self.engine == "ell":
             from ..ops.ell import (build_ell, device_ell, gather_table_dtype,
-                                   run_cavi_block_ell)
+                                   plan_col_tiling, run_cavi_block_ell)
 
             # bfloat16 gather tables once either side's float32 table
             # outgrows the fast-gather window ('auto' applies only in
@@ -655,23 +655,33 @@ class HPF:
             if self.gather_dtype == "bfloat16" or self.use_float:
                 gd = gather_table_dtype(max(self.nusers, self.nitems), self.k,
                                         mode=self.gather_dtype)
+            # column tiling: partition each side's cols by chunks of the
+            # OPPOSITE table so E-step gathers hit fast-window operands
+            # (user-side gathers the item table and vice versa)
+            g_item = 2 if gd is not None else np.dtype(self._dtype).itemsize
+            chunk_u = plan_col_tiling(self.nitems, self.k, g_item)
+            chunk_i = plan_col_tiling(self.nusers, self.k, g_item)
 
             indptr_u, ind_u, dat_u = data_utils.build_csr(
                 pdata.ix_u, pdata.ix_i, pdata.y, self.nusers, self.nitems)
             indptr_i, ind_i, dat_i = data_utils.build_csr(
                 pdata.ix_i, pdata.ix_u, pdata.y, self.nitems, self.nusers)
             ell_u = build_ell(indptr_u, ind_u, dat_u, self.nusers,
-                              dtype=self._dtype, pad_shards=n_dev)
+                              dtype=self._dtype, pad_shards=n_dev,
+                              col_chunk_rows=chunk_u, n_cols=self.nitems)
             ell_i = build_ell(indptr_i, ind_i, dat_i, self.nitems,
-                              dtype=self._dtype, pad_shards=n_dev)
+                              dtype=self._dtype, pad_shards=n_dev,
+                              col_chunk_rows=chunk_i, n_cols=self.nusers)
             if n_dev > 1:
                 from ..parallel.engine import (make_sharded_ell_phi_sums,
                                                shard_ell_layout)
 
                 ell_u = shard_ell_layout(ell_u, mesh)
                 ell_i = shard_ell_layout(ell_i, mesh)
-                fn_u = make_sharded_ell_phi_sums(mesh, len(ell_u.buckets))
-                fn_i = make_sharded_ell_phi_sums(mesh, len(ell_i.buckets))
+                fn_u = make_sharded_ell_phi_sums(mesh, len(ell_u.buckets),
+                                                 col_spans=ell_u.col_spans)
+                fn_i = make_sharded_ell_phi_sums(mesh, len(ell_i.buckets),
+                                                 col_spans=ell_i.col_spans)
                 n_bu = len(ell_u.buckets)
 
                 def phi_sums_fn(t_self, t_other, layout):

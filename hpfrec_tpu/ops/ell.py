@@ -1,4 +1,4 @@
-"""Scatter-free segment sums via bucketed ELL layout.
+"""Scatter-free segment sums via bucketed (and column-tiled) ELL layout.
 
 Motivation (measured on v5e): XLA's scatter-add over (nnz, k) rows
 serializes and runs at ~40+ ns per nonzero — orders of magnitude below
@@ -19,7 +19,22 @@ permutation gather.  No scatter appears anywhere.
 
 Rows with degree > ``max_width`` are split into multiple segments; the
 segment partials of such rows are summed by a tiny second-level dense
-reduction (rare: only catalog-head items at real-data scale).
+reduction.
+
+Column tiling (the large-table fast path)
+-----------------------------------------
+TPU row-gather throughput is a function of the gather operand's total
+BYTES, not its row count: measured on v5e, ~225 M rows/s when the table
+is under ~40 MB, degrading smoothly to ~23 M rows/s beyond 128 MB.  At
+MillionSong scale the user table is 1M x 50 x 4B = 204 MB and the E-step
+becomes gather-bound at the slow rate (measured 4.4 s of a 5.3 s
+iteration).  Fix: partition each row's (sorted) cols by fixed-size chunks
+of the opposite table ("column tiles"), producing per-(row, chunk)
+segments whose cols are stored chunk-LOCAL; at compute time each bucket
+gathers from a statically-sliced ~40 MB table chunk, which restores the
+fast-gather rate (measured 194 M slots/s fused vs 20 M untiled).  Rows
+spanning several chunks become multi-segment rows, which the existing
+split-row reassembly already sums.
 
 Both sides (user and item) get their own ELL packing (CSR- and CSC-like);
 phi is recomputed in each pass — 2x the transcendental work, a bargain
@@ -28,61 +43,211 @@ against serialized scatter.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple
+from dataclasses import dataclass, field
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
+
+# Per-op slot target for the unrolled dense reductions: XLA keeps the whole
+# gather->multiply->reduce chain in one fusion up to roughly this size
+# (measured 155 M slots/s at 10M slots; lax.scan chunking instead halves
+# throughput and >~13M slots materializes a (m*w, k) temp and OOMs).
+TARGET_SLOTS = 8 * 1024 * 1024
+
+# Gather operands at or under this size stay in the fast-gather window
+# (see module docstring).
+FAST_GATHER_BYTES = 40 * 1024 * 1024
+# Tables whose gather copy exceeds this get column-tiled.
+TILE_THRESHOLD_BYTES = 48 * 1024 * 1024
 
 
 class EllBucket(NamedTuple):
     rows: np.ndarray  # (m,) int32 — table row id of each packed segment
-    cols: np.ndarray  # (m, w) int32
+    cols: np.ndarray  # (m, w) int32 — opposite ids (chunk-LOCAL when tiled)
     vals: np.ndarray  # (m, w) real
 
 
-class EllLayout(NamedTuple):
-    """Host-side bucketed layout for one side (users or items)."""
+@dataclass
+class EllLayout:
+    """Host- or device-side bucketed layout for one side (users or items).
+
+    Registered as a JAX pytree: the bucket/reassembly arrays are leaves;
+    ``n_rows`` and ``col_spans`` are static aux data (so per-bucket table
+    slicing bounds are compile-time constants when the layout is passed as
+    a jit argument).
+    """
 
     buckets: List[EllBucket]
     # order of concat(bucket.rows) is "segment order"; for non-split rows the
     # inverse permutation maps table row -> its (single) segment position.
-    inv_perm: np.ndarray  # (n_rows,) int64 — segment position of each row's
-    # first segment
+    inv_perm: np.ndarray  # (n_rows,) int64 — position of each row's 1st seg
     split_rows: np.ndarray  # (n_split,) int64 — rows with >1 segment
-    split_seg_pos: np.ndarray  # (n_split, max_segs) int64 — segment positions
-    # of each split row (padded with -1 -> points at a zero row)
+    split_seg_pos: np.ndarray  # (n_split, max_segs) int64 — positions of
+    # each split row's remaining segments (padded with -1 -> a zero row)
     n_rows: int
+    # per-bucket (start, end) row span of the opposite table the bucket's
+    # cols index into, or None per bucket for whole-table; None overall
+    # when the layout is untiled
+    col_spans: Optional[Tuple[Optional[Tuple[int, int]], ...]] = None
+
+    def tree_flatten(self):
+        children = (self.buckets, self.inv_perm, self.split_rows,
+                    self.split_seg_pos)
+        aux = (self.n_rows, self.col_spans)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        buckets, inv_perm, split_rows, split_seg_pos = children
+        n_rows, col_spans = aux
+        return cls(buckets=buckets, inv_perm=inv_perm, split_rows=split_rows,
+                   split_seg_pos=split_seg_pos, n_rows=n_rows,
+                   col_spans=col_spans)
+
+
+def _register_pytree():
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        EllLayout,
+        lambda l: l.tree_flatten(),
+        EllLayout.tree_unflatten,
+    )
+
+
+try:  # defer-safe: numpy-only users never touch jax
+    _register_pytree()
+except Exception:  # pragma: no cover
+    pass
+
+
+def plan_col_tiling(n_opposite_rows: int, k: int, gather_itemsize: int = 4
+                    ) -> Optional[int]:
+    """Chunk row count for column tiling, or None when the opposite table's
+    gather copy already sits in the fast-gather window."""
+    table_bytes = n_opposite_rows * k * gather_itemsize
+    if table_bytes <= TILE_THRESHOLD_BYTES:
+        return None
+    return max(1, FAST_GATHER_BYTES // (k * gather_itemsize))
+
+
+def _ragged_fill(seg_start, seg_len, indices, data, cols, vals, dtype):
+    """Fill pre-zeroed (m, w) cols/vals from CSR runs (native or numpy)."""
+    try:
+        from .._native import ell_fill  # parallel C++ fill
+
+        ell_fill(seg_start, seg_len, indices, data.astype(dtype, copy=False),
+                 cols, vals)
+    except Exception:
+        m = len(seg_start)
+        flat_rows = np.repeat(np.arange(m, dtype=np.int64), seg_len)
+        total = int(seg_len.sum())
+        flat_cols = (np.arange(total, dtype=np.int64)
+                     - np.repeat(np.cumsum(seg_len) - seg_len, seg_len))
+        src = np.repeat(seg_start, seg_len) + flat_cols
+        cols[flat_rows, flat_cols] = indices[src]
+        vals[flat_rows, flat_cols] = data[src]
 
 
 def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
               n_rows: int, min_width: int = 8, max_width: int = 8192,
-              dtype=np.float32, pad_shards: int = 1) -> EllLayout:
+              dtype=np.float32, pad_shards: int = 1,
+              col_chunk_rows: Optional[int] = None,
+              n_cols: Optional[int] = None) -> EllLayout:
     """Pack a CSR side into degree buckets (host, O(nnz)).
 
     ``pad_shards`` pads every bucket's segment count to a multiple of the
     mesh size with inert dummy segments (row 0, zero vals) so the m axis
     shards evenly; segment positions (inv_perm etc.) account for the
-    padding."""
-    deg = np.diff(indptr).astype(np.int64)
+    padding.
 
-    # segments: (row, start, length<=max_width)
-    nseg_per_row = np.maximum(1, -(-deg // max_width))
-    seg_row = np.repeat(np.arange(n_rows, dtype=np.int64), nseg_per_row)
-    # offset of each segment within its row
+    ``col_chunk_rows`` (with ``n_cols``) enables column tiling: each row's
+    sorted cols are partitioned at chunk boundaries into per-(row, chunk)
+    segments whose cols are stored chunk-local, and each bucket carries the
+    (start, end) span of the opposite table it gathers from.
+    """
+    deg = np.diff(indptr).astype(np.int64)
+    nnz = int(indices.shape[0])
+
+    if col_chunk_rows is not None:
+        assert n_cols is not None, "col tiling needs n_cols"
+        # runs of (row, chunk): cols are sorted within each row, so chunk
+        # ids are non-decreasing per row; run boundaries are where the row
+        # or the chunk changes
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), deg)
+        chunk_of = indices.astype(np.int64) // col_chunk_rows
+        key = row_of * ((n_cols // col_chunk_rows) + 1) + chunk_of
+        boundaries = np.flatnonzero(np.diff(key) != 0) + 1
+        run_start = np.concatenate([[0], boundaries]) if nnz else np.zeros(0, np.int64)
+        run_len = np.diff(np.concatenate([run_start, [nnz]]))
+        run_row = row_of[run_start] if nnz else np.zeros(0, np.int64)
+        run_chunk = chunk_of[run_start] if nnz else np.zeros(0, np.int64)
+        # rows with zero degree still need one (empty -> width-min) segment
+        empty = np.flatnonzero(deg == 0)
+        if len(empty):
+            run_start = np.concatenate([run_start, indptr[empty]])
+            run_len = np.concatenate([run_len, np.zeros(len(empty), np.int64)])
+            run_row = np.concatenate([run_row, empty])
+            run_chunk = np.concatenate([run_chunk, np.zeros(len(empty), np.int64)])
+            order = np.argsort(run_row, kind="stable")
+            run_start, run_len = run_start[order], run_len[order]
+            run_row, run_chunk = run_row[order], run_chunk[order]
+    else:
+        run_start = indptr[:-1].astype(np.int64)
+        run_len = deg
+        run_row = np.arange(n_rows, dtype=np.int64)
+        run_chunk = np.zeros(n_rows, dtype=np.int64)
+
+    # split runs longer than max_width into bounded segments
+    nseg_per_run = np.maximum(1, -(-run_len // max_width))
+    rep = np.repeat(np.arange(len(run_row), dtype=np.int64), nseg_per_run)
+    first_of_run = np.zeros(len(run_row) + 1, dtype=np.int64)
+    np.cumsum(nseg_per_run, out=first_of_run[1:])
+    idx_in_run = np.arange(len(rep), dtype=np.int64) - first_of_run[rep]
+    seg_row = run_row[rep]
+    seg_chunk = run_chunk[rep]
+    seg_start = run_start[rep] + idx_in_run * max_width
+    seg_len = np.minimum(run_len[rep] - idx_in_run * max_width, max_width)
+
+    # per-row segment counts/offsets (segments are row-contiguous by
+    # construction: runs are row-major, splits stay adjacent)
+    nseg_per_row = np.bincount(seg_row, minlength=n_rows).astype(np.int64)
     first_seg = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(nseg_per_row, out=first_seg[1:])
-    seg_idx_in_row = np.arange(len(seg_row), dtype=np.int64) - first_seg[seg_row]
-    seg_start = indptr[seg_row] + seg_idx_in_row * max_width
-    seg_len = np.minimum(deg[seg_row] - seg_idx_in_row * max_width, max_width)
 
-    # bucket by next-pow2 width (floor min_width)
-    width = np.maximum(min_width, 1 << np.ceil(np.log2(np.maximum(seg_len, 1))).astype(np.int64))
+    # bucket by (chunk, next-pow2 width >= min_width)
+    width = np.maximum(min_width,
+                       1 << np.ceil(np.log2(np.maximum(seg_len, 1))).astype(np.int64))
+    tiled = col_chunk_rows is not None
+    if tiled:
+        # merge small width-buckets within a chunk into the next width (at
+        # most 4x) to bound the op count of the unrolled compute
+        MERGE_SLOTS = 1 << 20
+        for c in np.unique(seg_chunk):
+            in_c = seg_chunk == c
+            ws = np.unique(width[in_c])
+            for j, w in enumerate(ws[:-1]):
+                sel = in_c & (width == w)
+                if sel.sum() * w < MERGE_SLOTS and ws[j + 1] <= 4 * w:
+                    width[sel] = ws[j + 1]
+
+    bucket_key = seg_chunk * (2 * max_width) + width if tiled else width
 
     buckets: List[EllBucket] = []
+    spans: List[Optional[Tuple[int, int]]] = []
     seg_positions = np.empty(len(seg_row), dtype=np.int64)
     pos = 0
-    order_all = []
-    for w in sorted(set(width.tolist())):
-        sel = np.nonzero(width == w)[0]
+    for key_val in np.unique(bucket_key):
+        sel = np.flatnonzero(bucket_key == key_val)
+        if tiled:
+            c = int(key_val) // (2 * max_width)
+            w = int(key_val) % (2 * max_width)
+            off = c * col_chunk_rows
+            span = (off, min(off + col_chunk_rows, int(n_cols)))
+        else:
+            w = int(key_val)
+            span = None
+            off = 0
         m = len(sel)
         m_pad = ((m + pad_shards - 1) // pad_shards) * pad_shards
         cols = np.zeros((m_pad, w), dtype=np.int32)
@@ -90,22 +255,15 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         rows_arr = np.zeros(m_pad, dtype=np.int32)
         rows_arr[:m] = seg_row[sel]
         lens = seg_len[sel]
-        try:
-            from .._native import ell_fill  # parallel C++ fill
-
-            ell_fill(seg_start[sel], lens, indices, data.astype(dtype, copy=False),
-                     cols[:m], vals[:m])
-        except Exception:
-            # vectorized ragged fill (numpy fallback)
-            flat_rows = np.repeat(np.arange(m, dtype=np.int64), lens)
-            flat_cols = (np.arange(int(lens.sum()), dtype=np.int64)
-                         - np.repeat(np.cumsum(lens) - lens, lens))
-            src = np.repeat(seg_start[sel], lens) + flat_cols
-            cols[flat_rows, flat_cols] = indices[src]
-            vals[flat_rows, flat_cols] = data[src]
+        _ragged_fill(seg_start[sel], lens, indices, data, cols[:m], vals[:m],
+                     dtype)
+        if off:
+            # store chunk-local ids; padding slots (cols 0) stay in-bounds
+            np.subtract(cols[:m], np.int32(off), out=cols[:m],
+                        where=vals[:m] != 0)
         buckets.append(EllBucket(rows=rows_arr, cols=cols, vals=vals))
+        spans.append(span)
         seg_positions[sel] = pos + np.arange(m, dtype=np.int64)
-        order_all.append(sel)
         pos += m_pad
 
     # inverse permutation: first segment of every row
@@ -113,23 +271,40 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
 
     # split rows: positions of the segments BEYOND the first (the first is
     # covered by inv_perm); the patch is additive, so padded/unused slots
-    # (-1 -> the appended zero row) and even duplicate row ids are inert.
-    split = np.nonzero(nseg_per_row > 1)[0]
+    # (-1 -> the appended zero row) are inert.  Segment counts are heavily
+    # skewed (a catalog-head row can have hundreds of max_width splits
+    # while column tiling gives MOST rows a handful), so the ragged lists
+    # are chopped into fixed-width chunks of P positions — a row with many
+    # segments simply appears several times in ``split_rows`` (duplicates
+    # are correct under the additive patch).  A dense (n_split, max_segs)
+    # matrix here planned a 27 GB gather at MillionSong scale.
+    split = np.flatnonzero(nseg_per_row > 1)
     if len(split):
-        max_segs = int(nseg_per_row[split].max()) - 1
-        split_seg_pos = np.full((len(split), max_segs), -1, dtype=np.int64)
-        for j, r in enumerate(split):
-            sp = seg_positions[first_seg[r] + 1:first_seg[r + 1]]
-            split_seg_pos[j, :len(sp)] = sp
+        P = 4
+        counts = nseg_per_row[split] - 1
+        nchunk = -(-counts // P)
+        first_chunk = np.zeros(len(split) + 1, dtype=np.int64)
+        np.cumsum(nchunk, out=first_chunk[1:])
+        total_chunks = int(first_chunk[-1])
+        split_rows_out = np.repeat(split, nchunk)
+        split_seg_pos = np.full((total_chunks, P), -1, dtype=np.int64)
+        rep_r = np.repeat(np.arange(len(split), dtype=np.int64), counts)
+        total = int(counts.sum())
+        j = (np.arange(total, dtype=np.int64)
+             - np.repeat(np.cumsum(counts) - counts, counts))
+        src = np.repeat(first_seg[split] + 1, counts) + j
+        split_seg_pos[first_chunk[rep_r] + j // P, j % P] = seg_positions[src]
+        split = split_rows_out
     else:
         split_seg_pos = np.zeros((0, 1), dtype=np.int64)
 
     return EllLayout(buckets=buckets, inv_perm=inv_perm,
                      split_rows=split.astype(np.int64),
-                     split_seg_pos=split_seg_pos, n_rows=n_rows)
+                     split_seg_pos=split_seg_pos, n_rows=n_rows,
+                     col_spans=tuple(spans) if tiled else None)
 
 
-def device_ell(layout: EllLayout):
+def device_ell(layout: EllLayout) -> EllLayout:
     """Move bucket arrays to device (jnp) preserving structure."""
     import jax.numpy as jnp
 
@@ -140,28 +315,42 @@ def device_ell(layout: EllLayout):
         split_rows=jnp.asarray(layout.split_rows),
         split_seg_pos=jnp.asarray(layout.split_seg_pos),
         n_rows=layout.n_rows,
+        col_spans=layout.col_spans,
     )
 
 
-def _bucket_phi_sums(t_self, t_other, rows, cols, vals, row_chunk: int):
+def _bucket_phi_sums(t_self, t_other, rows, cols, vals,
+                     target_slots: int = TARGET_SLOTS, dep=None):
     """Per-segment phi sums for one bucket: (m, k) dense reduction.
 
     phi[r, j, :] = vals[r, j] * (t_self[rows[r]] * t_other[cols[r, j]]) / <t_self[rows[r]], t_other[cols[r, j]]>
-    returns sum_j phi[r, j, :].
-    Chunked over rows via scan to bound the (chunk, w, k) intermediate.
+    returns (sum_j phi[r, j, :], dep).
+
+    Large buckets are processed as an UNROLLED sequence of single fused
+    ops of ~``target_slots`` slots each: XLA keeps gather+multiply+reduce
+    in one fusion at that size (measured 155 M slots/s), while lax.scan
+    chunking halves throughput and bigger shots materialize the (m*w, k)
+    temporary.  ``dep`` chains an ``optimization_barrier`` dependency
+    between successive chunks (and, via the caller, buckets) — without it
+    XLA horizontally fuses the independent chunks and plans ALL their
+    (c, w, k) temporaries live at once (observed: a 27 GB allocation at
+    48M-nnz scale).
 
     ``t_self``/``t_other`` may arrive in a reduced gather dtype (bfloat16 —
-    see :func:`gather_table_dtype`); arithmetic always promotes to the
+    see :func:`gather_table_dtype`); arithmetic promotes to the
     accumulation dtype right after the gather.
     """
-    import jax
     import jax.numpy as jnp
+    from jax import lax
 
     m, w = cols.shape
-    k = t_self.shape[1]
     acc_dt = jnp.float32 if t_self.dtype in (jnp.bfloat16, jnp.float32) else t_self.dtype
 
-    def chunk_sums(rows_c, cols_c, vals_c):
+    def chunk_sums(rows_c, cols_c, vals_c, dep):
+        if dep is not None:
+            # order this chunk after the previous one so only one (c, w, k)
+            # temporary is ever live
+            rows_c, dep = lax.optimization_barrier((rows_c, dep))
         # factorized phi: p = t_self[row] * t_other[col]; phi = y * p / sum(p)
         p = (t_self[rows_c].astype(acc_dt)[:, None, :]
              * t_other[cols_c].astype(acc_dt))  # (c, w, k)
@@ -170,26 +359,73 @@ def _bucket_phi_sums(t_self, t_other, rows, cols, vals, row_chunk: int):
         return jnp.einsum("cw,cwk->ck", scale, p,
                           preferred_element_type=acc_dt)
 
-    if m * w <= row_chunk * 1024:  # small bucket: single shot
-        return chunk_sums(rows, cols, vals)
+    if m * w <= target_slots:
+        out = chunk_sums(rows, cols, vals, dep)
+        return out, out
 
-    c = max(1, row_chunk * 1024 // w)
-    nchunks = -(-m // c)
-    pad = nchunks * c - m
-    if pad:
-        rows = jnp.concatenate([rows, jnp.zeros(pad, rows.dtype)])
-        cols = jnp.concatenate([cols, jnp.zeros((pad, w), cols.dtype)])
-        vals = jnp.concatenate([vals, jnp.zeros((pad, w), vals.dtype)])
-    rows = rows.reshape(nchunks, c)
-    cols = cols.reshape(nchunks, c, w)
-    vals = vals.reshape(nchunks, c, w)
+    c = max(1, target_slots // w)
+    parts = []
+    for st in range(0, m, c):
+        out = chunk_sums(rows[st:st + c], cols[st:st + c], vals[st:st + c], dep)
+        dep = out
+        parts.append(out)
+    return jnp.concatenate(parts, axis=0), dep
 
-    def body(_, blk):
-        return None, chunk_sums(*blk)
 
-    _, out = jax.lax.scan(body, None, (rows, cols, vals))
-    out = out.reshape(nchunks * c, k)
-    return out[:m]
+def all_bucket_sums(t_self, t_other, buckets, col_spans=None,
+                    target_slots: int = TARGET_SLOTS):
+    """Concatenated per-segment phi sums over all buckets: (m_total, k).
+
+    With ``col_spans``, each tiled bucket gathers from a statically sliced
+    chunk of ``t_other`` (the large-table fast path); slices are shared
+    across buckets with the same span.  A dependency chain across buckets
+    bounds temporary liveness (see ``_bucket_phi_sums``).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    k = t_other.shape[1]
+    slices = {}
+    parts = []
+    dep = None
+    for j, b in enumerate(buckets):
+        span = col_spans[j] if col_spans is not None else None
+        if span is None:
+            tab = t_other
+        else:
+            if span not in slices:
+                slices[span] = lax.slice(t_other, (span[0], 0), (span[1], k))
+            tab = slices[span]
+        out, dep = _bucket_phi_sums(t_self, tab, b.rows, b.cols, b.vals,
+                                    target_slots, dep=dep)
+        parts.append(out)
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def segment_table_sums(seg, layout: EllLayout):
+    """Reassemble per-segment sums (m_total, k) into table order (n_rows, k):
+    one inverse-permutation gather (each row's first segment), plus an
+    additive patch summing split rows' remaining segments.  Invalid
+    positions (-1 / total_segs) hit an appended zero row, so padding — and
+    duplicate slot row ids — contribute nothing."""
+    import jax.numpy as jnp
+
+    out = seg[layout.inv_perm]
+    if layout.split_seg_pos.shape[0]:
+        segz = jnp.concatenate([seg, jnp.zeros((1, seg.shape[1]), seg.dtype)], axis=0)
+        extra = jnp.sum(segz[layout.split_seg_pos], axis=1)  # (n_split, k)
+        out = out.at[layout.split_rows].add(extra, mode="promise_in_bounds")
+    return out
+
+
+def ell_phi_sums(t_self, t_other, layout: EllLayout,
+                 target_slots: int = TARGET_SLOTS):
+    """Per-table-row phi sums, shape (n_rows, k).  Scatter-free."""
+    return segment_table_sums(
+        all_bucket_sums(t_self, t_other, layout.buckets,
+                        col_spans=layout.col_spans,
+                        target_slots=target_slots),
+        layout)
 
 
 def gather_table_dtype(n_rows: int, k: int, itemsize: int = 4,
@@ -199,12 +435,12 @@ def gather_table_dtype(n_rows: int, k: int, itemsize: int = 4,
     Measured on v5e: XLA's row-gather throughput is a function of the
     operand's total BYTES — ~225 M rows/s under ~40 MB, degrading smoothly
     to ~23 M rows/s at >=128 MB (k and index distribution are irrelevant).
-    Casting the per-iteration exp tables to bfloat16 halves their bytes and
-    roughly doubles gather rate on large tables, while all arithmetic stays
-    float32 (cast-up straight after the gather).  ``mode``: 'auto' switches
-    to bfloat16 only when the float32 table exceeds the fast-gather window
-    (so small/medium problems keep bit-exact float32), 'bfloat16' forces
-    it, anything else keeps the compute dtype.
+    Casting the per-iteration exp tables to bfloat16 halves their bytes
+    (and halves the number of column tiles needed), while all arithmetic
+    stays float32 (cast-up straight after the gather).  ``mode``: 'auto'
+    switches to bfloat16 only when the float32 table exceeds the
+    fast-gather window (so small/medium problems keep bit-exact float32),
+    'bfloat16' forces it, anything else keeps the compute dtype.
     """
     import jax.numpy as jnp
 
@@ -263,36 +499,3 @@ def run_cavi_block_ell(state, ell_u: EllLayout, ell_i: EllLayout, niter, hp,
                              gather_dtype=gather_dtype)
 
     return jax.lax.fori_loop(0, niter, body, state)
-
-
-def segment_table_sums(seg, layout: EllLayout):
-    """Reassemble per-segment sums (m_total, k) into table order (n_rows, k):
-    one inverse-permutation gather (each row's first segment), plus an
-    additive patch summing split rows' remaining segments.  Invalid
-    positions (-1 / total_segs) hit an appended zero row, so padding — and
-    duplicate slot row ids — contribute nothing."""
-    import jax.numpy as jnp
-
-    out = seg[layout.inv_perm]
-    if layout.split_seg_pos.shape[0]:
-        segz = jnp.concatenate([seg, jnp.zeros((1, seg.shape[1]), seg.dtype)], axis=0)
-        extra = jnp.sum(segz[layout.split_seg_pos], axis=1)  # (n_split, k)
-        out = out.at[layout.split_rows].add(extra, mode="promise_in_bounds")
-    return out
-
-
-def all_bucket_sums(t_self, t_other, buckets, row_chunk: int = 2048):
-    """Concatenated per-segment phi sums over all buckets: (m_total, k)."""
-    import jax.numpy as jnp
-
-    parts = [
-        _bucket_phi_sums(t_self, t_other, b.rows, b.cols, b.vals, row_chunk)
-        for b in buckets
-    ]
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-
-
-def ell_phi_sums(t_self, t_other, layout: EllLayout, row_chunk: int = 2048):
-    """Per-table-row phi sums, shape (n_rows, k).  Scatter-free."""
-    return segment_table_sums(
-        all_bucket_sums(t_self, t_other, layout.buckets, row_chunk), layout)

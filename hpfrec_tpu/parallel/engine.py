@@ -58,22 +58,29 @@ def shard_ell_layout(layout, mesh: Mesh):
         split_rows=jax.device_put(layout.split_rows, rep),
         split_seg_pos=jax.device_put(layout.split_seg_pos, rep),
         n_rows=layout.n_rows,
+        col_spans=layout.col_spans,
     )
 
 
-def make_sharded_ell_phi_sums(mesh: Mesh, n_buckets: int):
+def make_sharded_ell_phi_sums(mesh: Mesh, n_buckets: int, col_spans=None):
     """Sharded counterpart of ``ops.ell.ell_phi_sums``: each device computes
     the phi sums of its segment shard (dense, scatter-free), per-bucket
     all_gathers rebuild the global segment vector (communication:
-    ~(n_segments x k) floats over ICI), and reassembly runs replicated."""
+    ~(n_segments x k) floats over ICI), and reassembly runs replicated.
+
+    ``col_spans`` (static, from the layout) keeps the column-tiled
+    fast-gather path inside the shard_map body."""
     from ..ops.ell import EllBucket, all_bucket_sums, segment_table_sums
 
     def local_sums(t_self, t_other, *flat):
         buckets = [EllBucket(*flat[3 * i: 3 * i + 3]) for i in range(n_buckets)]
         parts = [
             jax.lax.all_gather(
-                all_bucket_sums(t_self, t_other, [b]), DATA_AXIS, axis=0, tiled=True)
-            for b in buckets
+                all_bucket_sums(
+                    t_self, t_other, [b],
+                    col_spans=None if col_spans is None else (col_spans[i],)),
+                DATA_AXIS, axis=0, tiled=True)
+            for i, b in enumerate(buckets)
         ]
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 

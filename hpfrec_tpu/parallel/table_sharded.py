@@ -119,17 +119,19 @@ def build_sharded_ell(indptr, indices, data, n_rows_padded, ndev,
                       rows_per_dev=per)
 
 
-def _local_table_sums(t_self_local, t_other_full, se: ShardedEll, row_chunk=2048):
+def _local_table_sums(t_self_local, t_other_full, se: ShardedEll):
     """Per-local-row phi sums on one device (inside shard_map).  The bucket
     arrays arrive with their leading device axis stripped."""
     import jax.numpy as jnp
 
     from ..ops.ell import _bucket_phi_sums
 
-    parts = [
-        _bucket_phi_sums(t_self_local, t_other_full, b.rows, b.cols, b.vals, row_chunk)
-        for b in se.buckets
-    ]
+    parts = []
+    dep = None
+    for b in se.buckets:
+        out, dep = _bucket_phi_sums(t_self_local, t_other_full,
+                                    b.rows, b.cols, b.vals, dep=dep)
+        parts.append(out)
     seg = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     out = seg[se.inv_perm]
     # additive split-row patch (remaining segments beyond the first);

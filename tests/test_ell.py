@@ -195,3 +195,75 @@ def test_hpf_fit_forced_bf16_gather():
     l32 = m32.eval_llk(df.copy())["llk"]
     l16 = m16.eval_llk(df.copy())["llk"]
     assert abs(l16 - l32) / abs(l32) < 5e-2, (l16, l32)
+
+
+def test_col_tiled_matches_untiled():
+    """Column-tiled layout (forced tiny chunks) must reproduce the untiled
+    phi sums: same math, different gather partitioning."""
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.ops.ell import build_ell, device_ell, ell_phi_sums
+
+    rng = np.random.default_rng(0)
+    nU, nI, k = 200, 120, 9
+    y, iu, ii = synth_counts(nU, nI, nnz=3000, seed=1)
+    indptr, indices, data = _csr(y, iu, ii, nU)
+    t_tab = jnp.asarray(rng.random((nU, k)).astype(np.float32) + 0.2)
+    b_tab = jnp.asarray(rng.random((nI, k)).astype(np.float32) + 0.2)
+
+    plain = device_ell(build_ell(indptr, indices, data, nU, max_width=32))
+    ref = np.asarray(ell_phi_sums(t_tab, b_tab, plain))
+
+    for chunk in (7, 16, 50, 119, 120, 1000):
+        tiled = build_ell(indptr, indices, data, nU, max_width=32,
+                          col_chunk_rows=chunk, n_cols=nI)
+        assert tiled.col_spans is not None
+        for span, b in zip(tiled.col_spans, tiled.buckets):
+            lo, hi = span
+            assert 0 <= lo < hi <= nI
+            real = np.asarray(b.vals) != 0
+            assert (np.asarray(b.cols)[real] < hi - lo).all()
+        out = np.asarray(ell_phi_sums(t_tab, b_tab, device_ell(tiled)))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"chunk={chunk}")
+
+
+def test_col_tiled_cavi_step_matches():
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.ops.ell import build_ell, cavi_step_ell, device_ell
+
+    nU, nI, k = 80, 50, 7
+    y, iu, ii = synth_counts(nU, nI, nnz=900, seed=3)
+    hp = Hyperparams(k=k)
+    state = initialize_state(nU, nI, hp, 21)
+    indptr_u, ind_u, dat_u = _csr(y, iu, ii, nU)
+    indptr_i, ind_i, dat_i = _csr(y, ii, iu, nI)
+
+    ref = cavi_step_ell(
+        state,
+        device_ell(build_ell(indptr_u, ind_u, dat_u, nU)),
+        device_ell(build_ell(indptr_i, ind_i, dat_i, nI)), hp)
+    out = cavi_step_ell(
+        state,
+        device_ell(build_ell(indptr_u, ind_u, dat_u, nU,
+                             col_chunk_rows=13, n_cols=nI)),
+        device_ell(build_ell(indptr_i, ind_i, dat_i, nI,
+                             col_chunk_rows=17, n_cols=nU)), hp)
+    for a, b in [(out.G_shp, ref.G_shp), (out.L_shp, ref.L_shp),
+                 (out.k_rte, ref.k_rte), (out.t_rte, ref.t_rte)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_plan_col_tiling_policy():
+    from hpfrec_tpu.ops.ell import plan_col_tiling
+
+    assert plan_col_tiling(100_000, 50) is None          # 20 MB f32: no tiling
+    assert plan_col_tiling(1_019_318, 50) is not None    # 204 MB: tiled
+    chunk = plan_col_tiling(1_019_318, 50)
+    assert chunk * 50 * 4 <= 40 * 1024 * 1024            # chunks in fast window
+    # bf16 halves bytes: bigger chunks, and the 377K item table needs none
+    assert plan_col_tiling(376_768, 50, 2) is None
+    assert plan_col_tiling(1_019_318, 50, 2) == 2 * plan_col_tiling(1_019_318, 50)
