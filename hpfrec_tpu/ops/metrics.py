@@ -76,6 +76,68 @@ def val_llk_rmse(Theta, Beta, data: BlockedCOO, nnz: int, full_llk: bool = False
     return llk, rmse
 
 
+@functools.partial(jax.jit, static_argnames=("full_llk",))
+def ell_llk_rmse_sums(Theta, Beta, layout, full_llk: bool = False):
+    """Per-op partial sums of the llk pieces over a (possibly column-tiled)
+    user-side ELL layout — same contract as :func:`llk_rmse_sums` but the
+    Beta gathers ride the layout's fast-window table chunks, so a
+    convergence check at MillionSong scale costs ~0.3 s instead of ~1.7 s
+    of slow whole-table gathers.  Returns stacked (n_ops,) partials.
+
+    The layout's padding slots carry ``vals == 0`` and in-bounds indices,
+    so they are masked exactly like the blocked-COO path's padding.
+    """
+    from .ell import TARGET_SLOTS
+
+    ll_p, se_p, sp_p = [], [], []
+    k = Beta.shape[1]
+    slices = {}
+    dep = None
+    for j, b in enumerate(layout.buckets):
+        span = layout.col_spans[j] if layout.col_spans is not None else None
+        if span is None:
+            tab = Beta
+        else:
+            if span not in slices:
+                slices[span] = jax.lax.slice(Beta, (span[0], 0), (span[1], k))
+            tab = slices[span]
+        m, w = b.cols.shape
+        c = max(1, TARGET_SLOTS // w) if m * w > TARGET_SLOTS else m
+        for st in range(0, m, c):
+            rows_c = b.rows[st:st + c]
+            if dep is not None:
+                rows_c, dep = jax.lax.optimization_barrier((rows_c, dep))
+            y = b.vals[st:st + c]
+            yhat = jnp.einsum("ck,cwk->cw", Theta[rows_c],
+                              tab[b.cols[st:st + c]],
+                              preferred_element_type=jnp.float32)
+            mask = y > 0
+            safe = jnp.where(yhat > 0, yhat, 1.0)
+            ll = y * jnp.log(safe)
+            if full_llk:
+                ll = ll - gammaln(y + 1.0)
+            ll_s = jnp.sum(jnp.where(mask, ll, 0.0))
+            se_s = jnp.sum(jnp.where(mask, (y - yhat) ** 2, 0.0))
+            sp_s = jnp.sum(jnp.where(mask, yhat, 0.0))
+            dep = ll_s
+            ll_p.append(ll_s)
+            se_p.append(se_s)
+            sp_p.append(sp_s)
+    return jnp.stack(ll_p), jnp.stack(se_p), jnp.stack(sp_p)
+
+
+def ell_train_llk_rmse(Theta, Beta, layout, nnz: int, full_llk: bool = False):
+    """Training criterion over the ELL layout (exact all-pairs correction
+    via colsum(Theta).colsum(Beta), reference ``pxi:78``)."""
+    import numpy as np
+
+    ll, se, _ = ell_llk_rmse_sums(Theta, Beta, layout, full_llk=full_llk)
+    llk = float(np.asarray(ll, dtype=np.float64).sum()) - float(
+        _colsum_dot(Theta, Beta))
+    rmse = float(np.sqrt(np.asarray(se, dtype=np.float64).sum() / nnz))
+    return llk, rmse
+
+
 @jax.jit
 def _colsum_dot(Theta, Beta):
     return jnp.dot(

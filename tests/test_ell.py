@@ -267,3 +267,62 @@ def test_plan_col_tiling_policy():
     # bf16 halves bytes: bigger chunks, and the 377K item table needs none
     assert plan_col_tiling(376_768, 50, 2) is None
     assert plan_col_tiling(1_019_318, 50, 2) == 2 * plan_col_tiling(1_019_318, 50)
+
+
+def test_hpf_fit_tiled_path(monkeypatch):
+    """Force the auto-tiling policy on at toy scale so the full HPF.fit
+    pipeline (CSR -> tiled build_ell -> fused engine -> reassembly) runs
+    through the tiled branch; result must match the untiled fit."""
+    import pandas as pd
+
+    import hpfrec_tpu.ops.ell as ell_mod
+    from hpfrec_tpu import HPF
+
+    y, iu, ii = synth_counts(60, 40, nnz=800, seed=2)
+    df = pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
+
+    m_plain = HPF(k=6, maxiter=12, verbose=False, random_seed=5)
+    m_plain.fit(df.copy())
+
+    monkeypatch.setattr(ell_mod, "TILE_THRESHOLD_BYTES", 200)
+    monkeypatch.setattr(ell_mod, "FAST_GATHER_BYTES", 17 * 6 * 4)  # 17-row chunks
+    m_tiled = HPF(k=6, maxiter=12, verbose=False, random_seed=5)
+    m_tiled.fit(df.copy())
+
+    np.testing.assert_allclose(m_tiled.Theta, m_plain.Theta, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(m_tiled.Beta, m_plain.Beta, rtol=1e-4, atol=1e-5)
+
+
+def test_ell_metrics_match_blocked():
+    """ell_train_llk_rmse (tiled and untiled) == blocked-COO train metrics."""
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.ops.cavi import BlockedCOO
+    from hpfrec_tpu.ops.ell import build_ell, device_ell
+    from hpfrec_tpu.ops.metrics import ell_train_llk_rmse, train_llk_rmse
+    from hpfrec_tpu.utils.data import block_coo
+
+    rng = np.random.default_rng(3)
+    nU, nI, k = 150, 90, 8
+    y, iu, ii = synth_counts(nU, nI, nnz=2500, seed=4)
+    Theta = jnp.asarray(rng.random((nU, k)).astype(np.float32))
+    Beta = jnp.asarray(rng.random((nI, k)).astype(np.float32))
+
+    blk = block_coo(y, iu, ii, block_size=512)
+    data = BlockedCOO(jnp.asarray(blk.y), jnp.asarray(blk.ix_u), jnp.asarray(blk.ix_i))
+    ref_llk, ref_rmse = train_llk_rmse(Theta, Beta, data, len(y))
+
+    indptr, indices, dat = _csr(y, iu, ii, nU)
+    for chunk in (None, 23):
+        lay = device_ell(build_ell(indptr, indices, dat, nU, max_width=32,
+                                   col_chunk_rows=chunk,
+                                   n_cols=nI if chunk else None))
+        llk, rmse = ell_train_llk_rmse(Theta, Beta, lay, len(y))
+        assert abs(llk - ref_llk) / abs(ref_llk) < 1e-5, (llk, ref_llk)
+        assert abs(rmse - ref_rmse) / ref_rmse < 1e-5
+
+    # full_llk variant too
+    ref_llk2, _ = train_llk_rmse(Theta, Beta, data, len(y), full_llk=True)
+    lay = device_ell(build_ell(indptr, indices, dat, nU, max_width=32))
+    llk2, _ = ell_train_llk_rmse(Theta, Beta, lay, len(y), full_llk=True)
+    assert abs(llk2 - ref_llk2) / abs(ref_llk2) < 1e-5
