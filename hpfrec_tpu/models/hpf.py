@@ -32,7 +32,6 @@ import os
 import time
 import types
 import warnings
-from typing import Optional
 
 import numpy as np
 

@@ -28,7 +28,7 @@ from typing import NamedTuple
 import numpy as np
 
 from ..models.state import Hyperparams, VariationalState
-from ..ops.ell import EllBucket, EllLayout, build_ell
+from ..ops.ell import EllBucket, build_ell
 from .mesh import DATA_AXIS
 
 
