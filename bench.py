@@ -86,7 +86,9 @@ def main():
     # Calibrate a per-dispatch iteration cap: a single dispatch running
     # >~60 s can crash the TPU worker (RPC watchdog), so long runs are
     # chained as short dispatches (measured overhead <10%, and it biases
-    # the reported throughput DOWN — conservative).
+    # the reported throughput DOWN — conservative).  Standalone twin of
+    # HPF._capped_runner — keep the two in sync (bench times the raw
+    # engine on purpose, without the model class in the loop).
     budget = float(os.environ.get("HPFREC_TPU_DISPATCH_BUDGET_S", "30"))
     st = runner(initialize_state(nU, nI, hp, 123), jnp.asarray(2, jnp.int32))
     float(jnp.sum(st.k_rte))  # compile + warm

@@ -588,6 +588,7 @@ class HPF:
                 dname = "train"
             self._nan_sentinel(llk, it)
             self._last_llk, self._last_rmse = llk, rmse
+            self._last_check_it = it
             if self.verbose:
                 print("Iteration %d | %s llk: %d | %s rmse: %.4f"
                       % (it, dname, int(llk), dname, rmse))
@@ -786,6 +787,7 @@ class HPF:
             state = pad_state(state, *self._table_shard_pad)
         self._last_llk = 0.0
         self._last_rmse = 0.0
+        self._last_check_it = None
         last_crit = None
         Theta_prev = state.G_shp / state.G_rte if self.stop_crit == 'diff-norm' else None
 
@@ -849,6 +851,7 @@ class HPF:
 
         self._last_llk = 0.0
         self._last_rmse = 0.0
+        self._last_check_it = None
         last_crit = None
         Theta_prev = state.G_shp / state.G_rte if self.stop_crit == 'diff-norm' else None
         dt = self._dtype
@@ -956,8 +959,25 @@ class HPF:
 
         self.train_llk = None
         if self.stop_crit in ('train-llk', 'val-llk'):
-            # the criterion itself is the final metric; the last convergence
-            # check already computed it
+            # the criterion itself is the final metric; reuse the last
+            # convergence check when it landed on the final iteration,
+            # otherwise (e.g. maxiter not a multiple of check_every, or no
+            # check ran at all) compute it now — never report the 0.0
+            # initializer or a stale mid-run value
+            if getattr(self, "_last_check_it", None) != self.niter + 1:
+                Theta = state.G_shp / state.G_rte
+                Beta = state.L_shp / state.L_rte
+                if val_data is not None and self.stop_crit == 'val-llk':
+                    llk, rmse = M.val_llk_rmse(Theta, Beta, val_data, val_nnz,
+                                               self.full_llk)
+                elif self._metric_ell is not None:
+                    llk, rmse = M.ell_train_llk_rmse(Theta, Beta,
+                                                     self._metric_ell, nnz,
+                                                     self.full_llk)
+                else:
+                    llk, rmse = M.train_llk_rmse(Theta, Beta, data, nnz,
+                                                 self.full_llk)
+                self._last_llk, self._last_rmse = llk, rmse
             self.train_llk = self._last_llk
             return
         if self.stop_crit in ('diff-norm', 'maxiter') and self.verbose:

@@ -471,8 +471,11 @@ def cavi_step_ell(state, ell_u: EllLayout, ell_i: EllLayout, hp,
     if gather_dtype is not None:
         t_tab = t_tab.astype(gather_dtype)
         b_tab = b_tab.astype(gather_dtype)
-    su = fn(t_tab, b_tab, ell_u)  # (nU, k)
-    si = fn(b_tab, t_tab, ell_i)  # (nI, k) — roles swapped
+    # cast back to the state dtype: with forced bfloat16 gathers under a
+    # float64 state the accumulation dtype is float32, and a dtype change
+    # would break the fori_loop carry
+    su = fn(t_tab, b_tab, ell_u).astype(state.G_shp.dtype)  # (nU, k)
+    si = fn(b_tab, t_tab, ell_i).astype(state.L_shp.dtype)  # (nI, k)
 
     Beta_old = state.L_shp / state.L_rte
     G_rte = hp.k_shp / state.k_rte + jnp.sum(Beta_old, axis=0, keepdims=True)

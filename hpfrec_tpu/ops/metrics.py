@@ -89,6 +89,8 @@ def ell_llk_rmse_sums(Theta, Beta, layout, full_llk: bool = False):
     """
     from .ell import TARGET_SLOTS
 
+    acc_dt = (jnp.float32 if Theta.dtype in (jnp.bfloat16, jnp.float32)
+              else Theta.dtype)
     ll_p, se_p, sp_p = [], [], []
     k = Beta.shape[1]
     slices = {}
@@ -110,7 +112,7 @@ def ell_llk_rmse_sums(Theta, Beta, layout, full_llk: bool = False):
             y = b.vals[st:st + c]
             yhat = jnp.einsum("ck,cwk->cw", Theta[rows_c],
                               tab[b.cols[st:st + c]],
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=acc_dt)
             mask = y > 0
             safe = jnp.where(yhat > 0, yhat, 1.0)
             ll = y * jnp.log(safe)

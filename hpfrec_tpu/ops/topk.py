@@ -91,17 +91,26 @@ def topn_batch(Theta, Beta, users, n, seen_indptr=None, seen_indices=None,
 
     vals, idx = masked(jnp.asarray(Theta[users_p]), jnp.asarray(Beta),
                        jnp.asarray(rows_p), jnp.asarray(items_p), n=k_eff)
-    idx = np.asarray(idx[:b])
+    idx = np.array(idx[:b])  # writable host copy (backfill mutates rows)
     vals = np.asarray(vals[:b])
 
     # pathological case: a user saw nearly the whole catalog and fewer
-    # than n items remain -> -inf slots; backfill like the reference
+    # than n items remain -> -inf slots.  Backfill first with any other
+    # unseen items, then (when the unseen set itself is smaller than n,
+    # where the reference's topN simply returns fewer rows) with the
+    # user's best-scoring seen items so the output stays rectangular.
     bad = ~np.isfinite(vals)
     if bad.any():
+        scores = None
         for j in np.flatnonzero(bad.any(axis=1)):
             seen = np.asarray(seen_indices)[starts[j]:starts[j] + counts[j]]
             good = idx[j][np.isfinite(vals[j])]
             rest = np.setdiff1d(np.arange(nI), np.concatenate([seen, good]))
-            fill = np.concatenate([good, rest])[:k_eff]
-            idx[j] = fill
+            fill = np.concatenate([good, rest])
+            if fill.shape[0] < k_eff:
+                if scores is None:
+                    scores = np.asarray(Theta[users]) @ np.asarray(Beta).T
+                order = seen[np.argsort(-scores[j][seen], kind="stable")]
+                fill = np.concatenate([fill, order])
+            idx[j] = fill[:k_eff]
     return idx

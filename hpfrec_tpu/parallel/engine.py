@@ -70,18 +70,28 @@ def make_sharded_ell_phi_sums(mesh: Mesh, n_buckets: int, col_spans=None):
 
     ``col_spans`` (static, from the layout) keeps the column-tiled
     fast-gather path inside the shard_map body."""
-    from ..ops.ell import EllBucket, all_bucket_sums, segment_table_sums
+    from ..ops.ell import EllBucket, segment_table_sums
 
     def local_sums(t_self, t_other, *flat):
+        from ..ops.ell import _bucket_phi_sums
+
         buckets = [EllBucket(*flat[3 * i: 3 * i + 3]) for i in range(n_buckets)]
-        parts = [
-            jax.lax.all_gather(
-                all_bucket_sums(
-                    t_self, t_other, [b],
-                    col_spans=None if col_spans is None else (col_spans[i],)),
-                DATA_AXIS, axis=0, tiled=True)
-            for i, b in enumerate(buckets)
-        ]
+        k = t_other.shape[1]
+        slices = {}
+        parts = []
+        dep = None  # chain buckets so temporaries are not all live at once
+        for i, b in enumerate(buckets):
+            span = col_spans[i] if col_spans is not None else None
+            if span is None:
+                tab = t_other
+            else:
+                if span not in slices:
+                    slices[span] = jax.lax.slice(t_other, (span[0], 0),
+                                                 (span[1], k))
+                tab = slices[span]
+            out, dep = _bucket_phi_sums(t_self, tab, b.rows, b.cols, b.vals,
+                                        dep=dep)
+            parts.append(jax.lax.all_gather(out, DATA_AXIS, axis=0, tiled=True))
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     bucket_specs = []

@@ -92,22 +92,7 @@ def roc_auc(model, test_df, random_seed: int = 1) -> float:
     qu, qi = _random_pairs(model, len(y), rng)
     pos = _score_pairs(model, ru, ri)
     neg = _score_pairs(model, qu, qi)
-    # rank-sum AUC with midrank tie handling
-    scores = np.concatenate([pos, neg])
-    order = np.argsort(scores, kind="stable")
-    ranks = np.empty(len(scores), dtype=np.float64)
-    ranks[order] = np.arange(1, len(scores) + 1)
-    # midranks for ties
-    sorted_scores = scores[order]
-    tie_starts = np.flatnonzero(np.diff(sorted_scores) != 0) + 1
-    bounds = np.concatenate([[0], tie_starts, [len(scores)]])
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        if b - a > 1:
-            ranks[order[a:b]] = 0.5 * (a + 1 + b)
-    n_pos = len(pos)
-    n_neg = len(neg)
-    u_stat = ranks[:n_pos].sum() - n_pos * (n_pos + 1) / 2.0
-    return float(u_stat / (n_pos * n_neg))
+    return _auc_from_scores(pos, neg)
 
 
 def count_pred_correlation(model, test_df) -> float:
@@ -167,6 +152,7 @@ def ranking_metrics(model, test_df, k: int = 10, exclude_seen: bool = True,
     else:
         seen_args = (None, None, None)
 
+    k = min(k, int(model.nitems))  # topn_batch can rank at most the catalog
     disc = 1.0 / np.log2(np.arange(2, k + 2))  # DCG discounts for ranks 1..k
     ideal = np.cumsum(disc)
     recall_sum = 0.0
@@ -186,17 +172,45 @@ def ranking_metrics(model, test_df, k: int = 10, exclude_seen: bool = True,
             "n_users": int(n), "k": int(k)}
 
 
+def _auc_from_scores(pos: np.ndarray, neg: np.ndarray) -> float:
+    """Exact Mann-Whitney AUC with midrank tie handling."""
+    scores = np.concatenate([pos, neg])
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    sorted_scores = scores[order]
+    tie_starts = np.flatnonzero(np.diff(sorted_scores) != 0) + 1
+    bounds = np.concatenate([[0], tie_starts, [len(scores)]])
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b - a > 1:
+            ranks[order[a:b]] = 0.5 * (a + 1 + b)
+    n_pos, n_neg = len(pos), len(neg)
+    u_stat = ranks[:n_pos].sum() - n_pos * (n_pos + 1) / 2.0
+    return float(u_stat / (n_pos * n_neg))
+
+
 def evaluate(model, test_df, k: int = 10, exclude_seen: bool = True,
              random_seed: int = 1) -> dict:
     """One-call evaluation bundle: the notebook's three statistics plus
-    recall@k/NDCG@k.  Returns a flat dict of floats."""
+    recall@k/NDCG@k.  Scores the test pairs and the negative sample once
+    and derives all pairwise statistics from them.  Returns a flat dict."""
+    assert model.is_fitted
+    y, ru, ri = _model_pairs(model, test_df)
+    if len(y) == 0:
+        raise ValueError("No test pairs with known users and items.")
+    rng = np.random.default_rng(random_seed)
+    qu, qi = _random_pairs(model, len(y), rng)
+    pos = _score_pairs(model, ru, ri)
+    neg = _score_pairs(model, qu, qi)
+
     out = {}
-    stats = predicted_rate_stats(model, test_df, random_seed=random_seed)
-    out["mean_pred_test"] = stats["mean_test"]
-    out["mean_pred_random"] = stats["mean_random"]
-    out["lift"] = stats["lift"]
-    out["roc_auc"] = roc_auc(model, test_df, random_seed=random_seed)
-    out["corr_count_pred"] = count_pred_correlation(model, test_df)
+    out["mean_pred_test"] = float(pos.mean())
+    out["mean_pred_random"] = float(neg.mean())
+    out["lift"] = (out["mean_pred_test"] / out["mean_pred_random"]
+                   if out["mean_pred_random"] > 0 else np.inf)
+    out["roc_auc"] = _auc_from_scores(pos, neg)
+    out["corr_count_pred"] = (float(np.corrcoef(y, pos)[0, 1])
+                              if len(y) >= 2 else np.nan)
     rk = ranking_metrics(model, test_df, k=k, exclude_seen=exclude_seen)
     out[f"recall_at_{k}"] = rk["recall"]
     out[f"ndcg_at_{k}"] = rk["ndcg"]

@@ -104,3 +104,13 @@ def test_unknown_ids_dropped():
 
     with pytest.raises(ValueError):
         ev.ranking_metrics(m, np.array([[99, 0, 1.0]]), k=2, exclude_seen=False)
+
+
+def test_ranking_metrics_k_exceeds_catalog():
+    Theta = np.array([[2.0], [1.0]])
+    Beta = np.array([[1.0], [3.0], [2.0]])
+    m = _manual_model(Theta, Beta)
+    test = np.array([[0, 1, 1.0], [1, 0, 1.0]])
+    out = ev.ranking_metrics(m, test, k=10, exclude_seen=False)
+    assert out["k"] == 3  # clamped to the catalog size
+    assert 0.0 <= out["recall"] <= 1.0 and 0.0 <= out["ndcg"] <= 1.0

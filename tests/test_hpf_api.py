@@ -235,3 +235,22 @@ def test_string_ids():
     rec = model.topN(user=u0, n=5)
     assert all(isinstance(r, str) for r in rec.tolist())
     assert np.isfinite(model.predict(user=u0, item=df["ItemId"].iloc[0]))
+
+
+def test_float64_with_forced_bf16_gather(counts_df):
+    """The explicitly-permitted use_float=False + gather_dtype='bfloat16'
+    combination must not break the fori_loop carry dtype."""
+    model = HPF(k=5, maxiter=6, check_every=3, verbose=False, random_seed=2,
+                use_float=False, gather_dtype="bfloat16")
+    model.fit(counts_df.copy())
+    assert model.Theta.dtype == np.float64
+    assert np.isfinite(model.Theta).all()
+
+
+def test_train_llk_computed_when_no_final_check(counts_df):
+    """stop_crit='train-llk' with maxiter < check_every (or not a multiple)
+    must still produce a real final llk, not the 0.0 placeholder."""
+    m2 = HPF(k=5, maxiter=13, check_every=5, stop_crit="train-llk",
+             verbose=False, random_seed=3)
+    m2.fit(counts_df.copy())
+    assert np.isfinite(m2.train_llk) and m2.train_llk != 0.0

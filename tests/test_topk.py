@@ -44,3 +44,29 @@ def test_topn_batch_unknown_user(fitted):
     m, _ = fitted
     with pytest.raises(ValueError):
         m.topN_batch(np.array([999999]), n=5)
+
+
+def test_topn_batch_backfill_small_catalog():
+    """Users with fewer than n unseen items: output stays rectangular,
+    unseen items rank first, the user's best seen items backfill."""
+    import numpy as np
+
+    from hpfrec_tpu.ops.topk import topn_batch
+
+    nU, nI, k = 3, 6, 2
+    rng = np.random.default_rng(0)
+    Theta = rng.random((nU, k)).astype(np.float32)
+    Beta = rng.random((nI, k)).astype(np.float32)
+    # user 0 saw items 0..4 (only item 5 unseen); user 1 saw nothing
+    seen_indices = np.array([0, 1, 2, 3, 4], dtype=np.int32)
+    seen_indptr = np.array([0, 5, 5], dtype=np.int64)
+    n_seen = np.array([5, 0, 0], dtype=np.int64)
+
+    out = topn_batch(Theta, Beta, np.array([0, 1]), 4,
+                     seen_indptr, seen_indices, n_seen)
+    assert out.shape == (2, 4)
+    assert out[0, 0] == 5  # the single unseen item ranks first
+    assert len(set(out[0].tolist())) == 4  # backfilled with distinct items
+    # user 1: plain top-4 by score
+    ref = np.argsort(-(Theta[1] @ Beta.T))[:4]
+    np.testing.assert_array_equal(np.sort(out[1]), np.sort(ref))
