@@ -326,3 +326,49 @@ def test_ell_metrics_match_blocked():
     lay = device_ell(build_ell(indptr, indices, dat, nU, max_width=32))
     llk2, _ = ell_train_llk_rmse(Theta, Beta, lay, len(y), full_llk=True)
     assert abs(llk2 - ref_llk2) / abs(ref_llk2) < 1e-5
+
+
+def test_sharded_tiled_ell_matches_single_device():
+    """Column tiling + data-parallel sharding compose: the shard_map path
+    must slice the replicated table per bucket span exactly like the
+    single-device path."""
+    import jax
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.ops.ell import build_ell, cavi_step_ell, device_ell
+    from hpfrec_tpu.parallel import make_mesh
+    from hpfrec_tpu.parallel.engine import (make_sharded_ell_phi_sums,
+                                            shard_ell_layout)
+
+    nU, nI, k = 80, 50, 7
+    y, iu, ii = synth_counts(nU, nI, nnz=900, seed=3)
+    hp = Hyperparams(k=k)
+    indptr_u, ind_u, dat_u = _csr(y, iu, ii, nU)
+    indptr_i, ind_i, dat_i = _csr(y, ii, iu, nI)
+
+    ref = cavi_step_ell(
+        initialize_state(nU, nI, hp, 21),
+        device_ell(build_ell(indptr_u, ind_u, dat_u, nU)),
+        device_ell(build_ell(indptr_i, ind_i, dat_i, nI)), hp)
+
+    mesh = make_mesh()
+    lu8 = shard_ell_layout(build_ell(indptr_u, ind_u, dat_u, nU, pad_shards=8,
+                                     col_chunk_rows=13, n_cols=nI), mesh)
+    li8 = shard_ell_layout(build_ell(indptr_i, ind_i, dat_i, nI, pad_shards=8,
+                                     col_chunk_rows=17, n_cols=nU), mesh)
+    assert lu8.col_spans is not None and li8.col_spans is not None
+    fn_u = make_sharded_ell_phi_sums(mesh, len(lu8.buckets), col_spans=lu8.col_spans)
+    fn_i = make_sharded_ell_phi_sums(mesh, len(li8.buckets), col_spans=li8.col_spans)
+
+    def phi_sums_fn(t_self, t_other, layout):
+        return (fn_u if layout is lu8 else fn_i)(t_self, t_other, layout)
+
+    out = jax.jit(lambda st: cavi_step_ell(st, lu8, li8, hp,
+                                           phi_sums_fn=phi_sums_fn))(
+        initialize_state(nU, nI, hp, 21))
+
+    np.testing.assert_allclose(np.asarray(out.G_shp), np.asarray(ref.G_shp),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.L_shp), np.asarray(ref.L_shp),
+                               rtol=1e-5, atol=1e-6)
