@@ -826,7 +826,7 @@ class HPF:
         reference's parity rule at ``pxi:265-273``)."""
         import jax.numpy as jnp
 
-        from ..ops.svi import svi_batch_update
+        from ..ops.svi import build_epoch_buffers, svi_batch_update, svi_run_batches
 
         # CSR for user epochs; CSC (transposed CSR) for item epochs.
         indptr_u, indices_u, data_u = data_utils.build_csr(
@@ -887,6 +887,49 @@ class HPF:
             rows_p[m:] = rows[0] if m else 0
             return _build_row_mask_jit(n_rows, jnp.asarray(rows_p))
 
+        # Device-resident epoch mode (default): the CSR/CSC arrays are
+        # staged on device once and each epoch ships only the shuffled row
+        # permutation; all batch gathers, masks, and updates run in chained
+        # fori_loop dispatches (ops/svi.py svi_run_batches).  Set
+        # HPFREC_TPU_SVI_HOST_BATCHES=1 for the per-batch host-gather path.
+        device_epochs = os.environ.get("HPFREC_TPU_SVI_HOST_BATCHES", "0") != "1"
+        nb_per_dispatch = int(os.environ.get("HPFREC_TPU_SVI_BATCHES_PER_DISPATCH", "64"))
+        if device_epochs:
+            if use_users:
+                dev_u = (jnp.asarray(data_u.astype(dt, copy=False)),
+                         jnp.asarray(indices_u.astype(np.int32, copy=False)),
+                         jnp.asarray(indptr_u.astype(np.int32, copy=False)))
+                deg_u = (indptr_u[1:] - indptr_u[:-1]).astype(np.int64)
+            if use_items:
+                dev_i = (jnp.asarray(data_i.astype(dt, copy=False)),
+                         jnp.asarray(indices_i.astype(np.int32, copy=False)),
+                         jnp.asarray(indptr_i.astype(np.int32, copy=False)))
+                deg_i = (indptr_i[1:] - indptr_i[:-1]).astype(np.int64)
+
+        def run_epoch_device(perm_real, dev_arrs, deg, n_rows, batch_rows,
+                             nbatches, step, user_side):
+            NP = nbatches * batch_rows
+            perm_p = np.empty(NP, dtype=np.int32)
+            perm_p[:n_rows] = perm_real
+            perm_p[n_rows:] = perm_real[-1]
+            batch_nnz = np.add.reduceat(deg[perm_real],
+                                        np.arange(0, n_rows, batch_rows))
+            p_cap = data_utils._next_pow2(max(int(batch_nnz.max()), 1024))
+            sizes = np.full(nbatches, batch_rows, dtype=np.float64)
+            sizes[-1] = n_rows - (nbatches - 1) * batch_rows
+            mults = jnp.asarray((float(n_rows) / sizes).astype(dt))
+            perm_dev = jnp.asarray(perm_p)
+            bufs = build_epoch_buffers(dev_arrs[0], dev_arrs[1], dev_arrs[2],
+                                       perm_dev, p_cap)
+            step_dev = jnp.asarray(step, dtype=dt)
+            for b0 in range(0, nbatches, nb_per_dispatch):
+                st_holder[0] = svi_run_batches(
+                    st_holder[0], *bufs, perm_dev, mults, step_dev,
+                    jnp.asarray(b0, dtype=jnp.int32),
+                    jnp.asarray(nbatches, dtype=jnp.int32),
+                    hp, user_side, batch_rows,
+                    min(nb_per_dispatch, nbatches), p_cap)
+
         st_holder = [state]
         i = 0
         start_epoch = 0
@@ -914,22 +957,30 @@ class HPF:
 
             if user_epoch:
                 rng.shuffle(users_numeration)
-                for bt in range(nbatches_u):
-                    st_b = bt * self.users_per_batch
-                    end_b = min(self.nusers, (bt + 1) * self.users_per_batch)
-                    rows = users_numeration[st_b:end_b]
-                    mult = float(self.nusers) / float(end_b - st_b)
-                    st_holder[0] = run_batch(rows, indptr_u, indices_u, data_u,
-                                             self.nusers, self.nitems, mult, step, True)
+                if device_epochs:
+                    run_epoch_device(users_numeration, dev_u, deg_u, self.nusers,
+                                     self.users_per_batch, nbatches_u, step, True)
+                else:
+                    for bt in range(nbatches_u):
+                        st_b = bt * self.users_per_batch
+                        end_b = min(self.nusers, (bt + 1) * self.users_per_batch)
+                        rows = users_numeration[st_b:end_b]
+                        mult = float(self.nusers) / float(end_b - st_b)
+                        st_holder[0] = run_batch(rows, indptr_u, indices_u, data_u,
+                                                 self.nusers, self.nitems, mult, step, True)
             else:
                 rng.shuffle(items_numeration)
-                for bt in range(nbatches_i):
-                    st_b = bt * self.items_per_batch
-                    end_b = min(self.nitems, (bt + 1) * self.items_per_batch)
-                    rows = items_numeration[st_b:end_b]
-                    mult = float(self.nitems) / float(end_b - st_b)
-                    st_holder[0] = run_batch(rows, indptr_i, indices_i, data_i,
-                                             self.nitems, self.nusers, mult, step, False)
+                if device_epochs:
+                    run_epoch_device(items_numeration, dev_i, deg_i, self.nitems,
+                                     self.items_per_batch, nbatches_i, step, False)
+                else:
+                    for bt in range(nbatches_i):
+                        st_b = bt * self.items_per_batch
+                        end_b = min(self.nitems, (bt + 1) * self.items_per_batch)
+                        rows = items_numeration[st_b:end_b]
+                        mult = float(self.nitems) / float(end_b - st_b)
+                        st_holder[0] = run_batch(rows, indptr_i, indices_i, data_i,
+                                                 self.nitems, self.nusers, mult, step, False)
 
             stop = False
             if self.check_every > 0 and ((i + 1) % self.check_every) == 0:

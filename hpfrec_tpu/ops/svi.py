@@ -38,32 +38,24 @@ def _batch_phi_sums(state: VariationalState, y, iu, ii):
     return su, si
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("hp", "user_side", "blend_all_scalers"),
-    donate_argnums=(0,),
-)
-def svi_batch_update(
+def _svi_update_math(
     state: VariationalState,
-    y: jax.Array,
-    iu: jax.Array,
-    ii: jax.Array,
-    umask: jax.Array,  # (nU, 1) bool — users touched by this batch
-    imask: jax.Array,  # (nI, 1) bool — items touched by this batch
+    su: jax.Array,
+    si: jax.Array,
+    umask: jax.Array,
+    imask: jax.Array,
     step: jax.Array,
     mult: jax.Array,
     hp: Hyperparams,
-    user_side: bool = True,
-    blend_all_scalers: bool = False,
+    user_side: bool,
+    blend_all_scalers: bool,
 ) -> VariationalState:
-    """One SVI mini-batch update.
+    """The SVI natural-gradient blend given the batch's phi segment sums.
 
-    ``user_side=True`` reproduces the user-epoch update (``pxi:275-325``;
-    also ``partial_fit`` with ``batch_type='users'`` when
-    ``blend_all_scalers=True``, ``pxi:442-473``); ``user_side=False`` the
-    item-epoch (``pxi:327-377``).
+    Shared by the single-batch entry point (:func:`svi_batch_update`, used
+    by ``partial_fit``) and the device-resident epoch runner
+    (:func:`svi_run_batches`).
     """
-    su, si = _batch_phi_sums(state, y, iu, ii)
     step_prev = 1.0 - step
     G_shp, G_rte = state.G_shp, state.G_rte
     L_shp, L_rte = state.L_shp, state.L_rte
@@ -113,6 +105,146 @@ def svi_batch_update(
         t_rte = jnp.where(imask, new_t, t_rte)
 
     return VariationalState(G_shp, G_rte, L_shp, L_rte, k_rte, t_rte)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hp", "user_side", "blend_all_scalers"),
+    donate_argnums=(0,),
+)
+def svi_batch_update(
+    state: VariationalState,
+    y: jax.Array,
+    iu: jax.Array,
+    ii: jax.Array,
+    umask: jax.Array,  # (nU, 1) bool — users touched by this batch
+    imask: jax.Array,  # (nI, 1) bool — items touched by this batch
+    step: jax.Array,
+    mult: jax.Array,
+    hp: Hyperparams,
+    user_side: bool = True,
+    blend_all_scalers: bool = False,
+) -> VariationalState:
+    """One SVI mini-batch update.
+
+    ``user_side=True`` reproduces the user-epoch update (``pxi:275-325``;
+    also ``partial_fit`` with ``batch_type='users'`` when
+    ``blend_all_scalers=True``, ``pxi:442-473``); ``user_side=False`` the
+    item-epoch (``pxi:327-377``).
+    """
+    su, si = _batch_phi_sums(state, y, iu, ii)
+    return _svi_update_math(
+        state, su, si, umask, imask, step, mult, hp, user_side, blend_all_scalers
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("p_cap",))
+def build_epoch_buffers(
+    y_sorted: jax.Array,  # (nnz,) CSR/CSC-sorted counts (row-major)
+    cols_sorted: jax.Array,  # (nnz,) int32 other-side index per nonzero
+    indptr: jax.Array,  # (n_rows+1,) int32 row pointers
+    perm: jax.Array,  # (NP,) int32 shuffled row ids; entries past n_rows
+    #                    are pad duplicates of real rows (counted as zero)
+    p_cap: int,  # static per-batch nonzero capacity; buffers get p_cap
+    #              inert tail entries so fixed-size slices never clamp
+):
+    """Materialize one epoch's nonzeros in shuffled-row order, on device.
+
+    This is the device-side replacement for the reference's per-batch
+    two-pass host gather (``cython_loops.pxi:27-42, 770-797``): the CSR
+    arrays stay resident on the device and the host ships only the (NP,)
+    permutation per epoch.  Position ``j`` of the epoch stream belongs to
+    the permuted row ``p`` with ``offsets[p] <= j < offsets[p+1]`` (found
+    with one vectorized ``searchsorted``), and maps back to CSR slot
+    ``indptr[perm[p]] + (j - offsets[p])``.
+
+    Returns ``(e_y, e_row, e_col, offsets)`` where ``offsets`` is the
+    (NP+1,) exclusive prefix sum of permuted row degrees — batch ``b`` of
+    ``B`` rows spans epoch positions ``[offsets[b*B], offsets[(b+1)*B])``.
+    """
+    NP = perm.shape[0]
+    n_rows = indptr.shape[0] - 1
+    nnz = y_sorted.shape[0]
+    starts_r = indptr[perm]
+    counts = jnp.where(jnp.arange(NP) < n_rows, indptr[perm + 1] - starts_r, 0)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    pos = jnp.arange(nnz + p_cap, dtype=jnp.int32)
+    p = jnp.clip(jnp.searchsorted(offsets, pos, side="right") - 1, 0, NP - 1)
+    src = jnp.clip(starts_r[p] + (pos - offsets[p]), 0, nnz - 1)
+    valid = pos < offsets[-1]
+    e_y = jnp.where(valid, y_sorted[src], 0)
+    e_row = jnp.where(valid, perm[p], 0).astype(jnp.int32)
+    e_col = jnp.where(valid, cols_sorted[src], 0).astype(jnp.int32)
+    return e_y, e_row, e_col, offsets
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hp", "user_side", "batch_rows", "nb_run", "p_cap"),
+    donate_argnums=(0,),
+)
+def svi_run_batches(
+    state: VariationalState,
+    e_y: jax.Array,
+    e_row: jax.Array,
+    e_col: jax.Array,
+    offsets: jax.Array,
+    perm: jax.Array,
+    mults: jax.Array,  # (nbatches,) natural-gradient multipliers n/|batch|
+    step: jax.Array,
+    b0: jax.Array,  # first batch index of this dispatch
+    nb_real: jax.Array,  # total real batches this epoch (pad batches no-op)
+    hp: Hyperparams,
+    user_side: bool,
+    batch_rows: int,
+    nb_run: int,  # static batches per dispatch (dispatch-duration cap)
+    p_cap: int,
+) -> VariationalState:
+    """Run ``nb_run`` consecutive SVI mini-batches in ONE dispatch.
+
+    Each iteration of the ``fori_loop`` slices a fixed-size (``p_cap``)
+    window of the epoch stream at the batch's dynamic offset, masks the
+    tail (y=0 rows are inert in the phi sums), rebuilds the touched-row
+    masks on device, and applies the reference's blended update
+    (``cython_loops.pxi:277-377``).  The whole epoch therefore costs one
+    host->device transfer of the permutation instead of per-batch host
+    gathers.
+    """
+    n_users = state.G_shp.shape[0]
+    n_items = state.L_shp.shape[0]
+    n_local = n_users if user_side else n_items
+    n_other = n_items if user_side else n_users
+
+    def upd(b, st):
+        r0 = b * batch_rows
+        rows_b = jax.lax.dynamic_slice(perm, (r0,), (batch_rows,))
+        start = offsets[r0]
+        nnz_b = offsets[r0 + batch_rows] - start
+        yb = jax.lax.dynamic_slice(e_y, (start,), (p_cap,))
+        rb = jax.lax.dynamic_slice(e_row, (start,), (p_cap,))
+        cb = jax.lax.dynamic_slice(e_col, (start,), (p_cap,))
+        vmask = jnp.arange(p_cap, dtype=jnp.int32) < nnz_b
+        yb = jnp.where(vmask, yb, 0)
+        # touched-other-side mask: route pad slots to the batch's first
+        # real index (duplicate set-True scatters are harmless); an empty
+        # batch touches nothing.
+        cb_safe = jnp.where(vmask, cb, cb[0])
+        lmask = build_row_mask(n_local, rows_b)
+        omask = build_row_mask(n_other, cb_safe) & (nnz_b > 0)
+        iu, ii = (rb, cb) if user_side else (cb, rb)
+        umask, imask = (lmask, omask) if user_side else (omask, lmask)
+        su, si = _batch_phi_sums(st, yb, iu, ii)
+        return _svi_update_math(
+            st, su, si, umask, imask, step, mults[b], hp, user_side, False
+        )
+
+    def body(j, st):
+        b = b0 + j
+        return jax.lax.cond(b < nb_real, lambda s: upd(b, s), lambda s: s, st)
+
+    return jax.lax.fori_loop(0, nb_run, body, state)
 
 
 def build_row_mask(n_rows: int, rows: jax.Array) -> jax.Array:

@@ -139,7 +139,9 @@ def map_to_training_ids(values, mapping):
     ``pd.Categorical(...).codes``, ``hpfrec/__init__.py:561-562``)."""
     import pandas as pd
 
-    codes = pd.Categorical(values, mapping).codes
+    # get_indexer is the non-deprecated equivalent of
+    # pd.Categorical(values, categories).codes for unknown->-1 mapping.
+    codes = pd.Index(mapping).get_indexer(np.asarray(values))
     return np.require(codes, requirements=["ENSUREARRAY"]).astype(np.int64, copy=False)
 
 

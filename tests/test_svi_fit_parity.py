@@ -61,7 +61,7 @@ def _run_oracle_svi(oracle, y, iu, ii, nU, nI, users_per_batch, items_per_batch,
     return oracle
 
 
-def _parity(users_per_batch, items_per_batch):
+def _parity(users_per_batch, items_per_batch, host_batches=False):
     nU, nI, k, seed = 40, 30, 5, 77
     y, iu, ii = synth_counts(nU, nI, nnz=600, seed=4, dtype=np.float64)
     df = pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
@@ -72,7 +72,13 @@ def _parity(users_per_batch, items_per_batch):
     model = HPF(k=k, maxiter=4, check_every=4, stop_crit="maxiter",
                 users_per_batch=users_per_batch, items_per_batch=items_per_batch,
                 use_float=False, verbose=False, random_seed=seed, reindex=False)
-    model.fit(df)
+    import os
+
+    os.environ["HPFREC_TPU_SVI_HOST_BATCHES"] = "1" if host_batches else "0"
+    try:
+        model.fit(df)
+    finally:
+        os.environ.pop("HPFREC_TPU_SVI_HOST_BATCHES", None)
 
     oracle = OracleHPF(0.3, 0.3, 1.0, 0.3, 0.3, 1.0, k).init(nU, nI, seed, np.float64)
     _run_oracle_svi(oracle, y, iu, ii, nU, nI,
@@ -94,3 +100,9 @@ def test_item_epochs_parity():
 
 def test_alternating_epochs_parity():
     _parity(13, 11)
+
+
+def test_alternating_epochs_parity_host_fallback():
+    """The per-batch host-gather path (HPFREC_TPU_SVI_HOST_BATCHES=1) must
+    stay semantically identical to the device-resident epoch runner."""
+    _parity(13, 11, host_batches=True)
