@@ -894,6 +894,12 @@ class HPF:
         # HPFREC_TPU_SVI_HOST_BATCHES=1 for the per-batch host-gather path.
         device_epochs = os.environ.get("HPFREC_TPU_SVI_HOST_BATCHES", "0") != "1"
         nb_per_dispatch = int(os.environ.get("HPFREC_TPU_SVI_BATCHES_PER_DISPATCH", "64"))
+        svi_phi_fn = None
+        n_mesh = 1 if mesh is None else len(mesh.devices.ravel())
+        if device_epochs and n_mesh > 1:
+            from ..parallel.engine import make_sharded_svi_phi_sums
+
+            svi_phi_fn = make_sharded_svi_phi_sums(mesh)
         if device_epochs:
             if use_users:
                 dev_u = (jnp.asarray(data_u.astype(dt, copy=False)),
@@ -915,6 +921,8 @@ class HPF:
             batch_nnz = np.add.reduceat(deg[perm_real],
                                         np.arange(0, n_rows, batch_rows))
             p_cap = data_utils._next_pow2(max(int(batch_nnz.max()), 1024))
+            # sharded phi sums split the batch buffer evenly over the mesh
+            p_cap = ((p_cap + n_mesh - 1) // n_mesh) * n_mesh
             sizes = np.full(nbatches, batch_rows, dtype=np.float64)
             sizes[-1] = n_rows - (nbatches - 1) * batch_rows
             mults = jnp.asarray((float(n_rows) / sizes).astype(dt))
@@ -928,7 +936,8 @@ class HPF:
                     jnp.asarray(b0, dtype=jnp.int32),
                     jnp.asarray(nbatches, dtype=jnp.int32),
                     hp, user_side, batch_rows,
-                    min(nb_per_dispatch, nbatches), p_cap)
+                    min(nb_per_dispatch, nbatches), p_cap,
+                    phi_sums_fn=svi_phi_fn)
 
         st_holder = [state]
         i = 0

@@ -28,14 +28,22 @@ from ..models.state import Hyperparams, VariationalState
 from .cavi import _phi_block, exp_elog_tables
 
 
-def _batch_phi_sums(state: VariationalState, y, iu, ii):
+def phi_sums_tables(t_tab, b_tab, y, iu, ii):
+    """Segment sums of phi over one (padded, flat) batch of nonzeros, given
+    the stabilized exp tables.  This is the per-device body of the sharded
+    SVI variant (``parallel.engine.make_sharded_svi_phi_sums``)."""
+    phi = _phi_block(t_tab, b_tab, y, iu, ii)
+    su = jnp.zeros_like(t_tab).at[iu].add(phi, mode="promise_in_bounds")
+    si = jnp.zeros_like(b_tab).at[ii].add(phi, mode="promise_in_bounds")
+    return su, si
+
+
+def _batch_phi_sums(state: VariationalState, y, iu, ii, phi_sums_fn=None):
     """Segment sums of phi over one (padded, flat) batch of nonzeros."""
     t_tab = exp_elog_tables(state.G_shp, state.G_rte)
     b_tab = exp_elog_tables(state.L_shp, state.L_rte)
-    phi = _phi_block(t_tab, b_tab, y, iu, ii)
-    su = jnp.zeros_like(state.G_shp).at[iu].add(phi, mode="promise_in_bounds")
-    si = jnp.zeros_like(state.L_shp).at[ii].add(phi, mode="promise_in_bounds")
-    return su, si
+    fn = phi_sums_fn if phi_sums_fn is not None else phi_sums_tables
+    return fn(t_tab, b_tab, y, iu, ii)
 
 
 def _svi_update_math(
@@ -182,7 +190,8 @@ def build_epoch_buffers(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hp", "user_side", "batch_rows", "nb_run", "p_cap"),
+    static_argnames=("hp", "user_side", "batch_rows", "nb_run", "p_cap",
+                     "phi_sums_fn"),
     donate_argnums=(0,),
 )
 def svi_run_batches(
@@ -201,6 +210,7 @@ def svi_run_batches(
     batch_rows: int,
     nb_run: int,  # static batches per dispatch (dispatch-duration cap)
     p_cap: int,
+    phi_sums_fn=None,  # mesh-parallel phi-sum override (static)
 ) -> VariationalState:
     """Run ``nb_run`` consecutive SVI mini-batches in ONE dispatch.
 
@@ -235,7 +245,7 @@ def svi_run_batches(
         omask = build_row_mask(n_other, cb_safe) & (nnz_b > 0)
         iu, ii = (rb, cb) if user_side else (cb, rb)
         umask, imask = (lmask, omask) if user_side else (omask, lmask)
-        su, si = _batch_phi_sums(st, yb, iu, ii)
+        su, si = _batch_phi_sums(st, yb, iu, ii, phi_sums_fn)
         return _svi_update_math(
             st, su, si, umask, imask, step, mults[b], hp, user_side, False
         )

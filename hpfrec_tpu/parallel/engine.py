@@ -115,6 +115,29 @@ def make_sharded_ell_phi_sums(mesh: Mesh, n_buckets: int, col_spans=None):
     return phi_sums_fn
 
 
+def make_sharded_svi_phi_sums(mesh: Mesh):
+    """Mesh-parallel phi segment sums for one SVI mini-batch: the batch's
+    padded nonzero buffer is split evenly over ``'d'`` (the buffer capacity
+    is rounded to a mesh-size multiple by the caller), each device
+    segment-adds its slice's phi into full-size tables, and a ``psum``
+    combines them.  Tables stay replicated — the per-batch communication is
+    2*(nU + nI)*k floats over ICI, same as the full-batch engine.  Pass the
+    result as ``phi_sums_fn`` to ``ops.svi.svi_run_batches``."""
+    from ..ops.svi import phi_sums_tables
+
+    def local(t_tab, b_tab, y, iu, ii):
+        su, si = phi_sums_tables(t_tab, b_tab, y, iu, ii)
+        return jax.lax.psum(su, DATA_AXIS), jax.lax.psum(si, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+
 def make_sharded_segment_sums(mesh: Mesh):
     """Build a drop-in replacement for ``ops.cavi.phi_segment_sums`` that
     runs one shard_map over the mesh.  Suitable as the ``segment_sums_fn``

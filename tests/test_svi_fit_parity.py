@@ -61,7 +61,7 @@ def _run_oracle_svi(oracle, y, iu, ii, nU, nI, users_per_batch, items_per_batch,
     return oracle
 
 
-def _parity(users_per_batch, items_per_batch, host_batches=False):
+def _parity(users_per_batch, items_per_batch, host_batches=False, mesh=None):
     nU, nI, k, seed = 40, 30, 5, 77
     y, iu, ii = synth_counts(nU, nI, nnz=600, seed=4, dtype=np.float64)
     df = pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
@@ -71,7 +71,8 @@ def _parity(users_per_batch, items_per_batch, host_batches=False):
     step_size = lambda x: 1 / np.sqrt(x + 2)  # noqa: E731
     model = HPF(k=k, maxiter=4, check_every=4, stop_crit="maxiter",
                 users_per_batch=users_per_batch, items_per_batch=items_per_batch,
-                use_float=False, verbose=False, random_seed=seed, reindex=False)
+                use_float=False, verbose=False, random_seed=seed, reindex=False,
+                mesh=mesh)
     import os
 
     os.environ["HPFREC_TPU_SVI_HOST_BATCHES"] = "1" if host_batches else "0"
@@ -106,3 +107,11 @@ def test_alternating_epochs_parity_host_fallback():
     """The per-batch host-gather path (HPFREC_TPU_SVI_HOST_BATCHES=1) must
     stay semantically identical to the device-resident epoch runner."""
     _parity(13, 11, host_batches=True)
+
+
+def test_alternating_epochs_parity_sharded():
+    """SVI on an 8-device mesh (batch nonzeros sharded, psum of phi sums)
+    must match the single-device run and the oracle."""
+    from hpfrec_tpu.parallel import make_mesh
+
+    _parity(13, 11, mesh=make_mesh())
