@@ -694,14 +694,13 @@ class HPF:
                                                  col_spans=ell_u.col_spans)
                 fn_i = make_sharded_ell_phi_sums(mesh, len(ell_i.buckets),
                                                  col_spans=ell_i.col_spans)
-                n_bu = len(ell_u.buckets)
-
-                def phi_sums_fn(t_self, t_other, layout):
-                    # user layout iff it has the user-side bucket count and
-                    # user-table row count (trace-time dispatch)
-                    is_user = (len(layout.buckets) == n_bu
-                               and layout.inv_perm.shape[0] == self.nusers)
-                    return (fn_u if is_user else fn_i)(t_self, t_other, layout)
+                def phi_sums_fn(t_self, t_other, layout, side):
+                    # explicit side dispatch: the previous shape heuristic
+                    # (bucket count + row count) could silently hand the
+                    # item layout the user-side col_spans when
+                    # nusers == nitems with coincident bucket ladders
+                    return (fn_u if side == "user" else fn_i)(
+                        t_self, t_other, layout)
             else:
                 ell_u = device_ell(ell_u)
                 ell_i = device_ell(ell_i)

@@ -436,8 +436,15 @@ def segment_table_sums(seg, layout: EllLayout):
 
 
 def ell_phi_sums(t_self, t_other, layout: EllLayout,
-                 target_slots: int = TARGET_SLOTS):
-    """Per-table-row phi sums, shape (n_rows, k).  Scatter-free."""
+                 target_slots: int = TARGET_SLOTS, side: str = "user"):
+    """Per-table-row phi sums, shape (n_rows, k).  Scatter-free.
+
+    ``side`` ('user' | 'item') names which layout this call is for; the
+    default implementation doesn't need it, but substituted ``phi_sums_fn``
+    implementations (the sharded engines) dispatch on it — shape-based
+    dispatch is unsound when ``nusers == nitems`` with coincident bucket
+    ladders."""
+    del side
     return segment_table_sums(
         all_bucket_sums(t_self, t_other, layout.buckets,
                         col_spans=layout.col_spans,
@@ -491,8 +498,8 @@ def cavi_step_ell(state, ell_u: EllLayout, ell_i: EllLayout, hp,
     # cast back to the state dtype: with forced bfloat16 gathers under a
     # float64 state the accumulation dtype is float32, and a dtype change
     # would break the fori_loop carry
-    su = fn(t_tab, b_tab, ell_u).astype(state.G_shp.dtype)  # (nU, k)
-    si = fn(b_tab, t_tab, ell_i).astype(state.L_shp.dtype)  # (nI, k)
+    su = fn(t_tab, b_tab, ell_u, side="user").astype(state.G_shp.dtype)
+    si = fn(b_tab, t_tab, ell_i, side="item").astype(state.L_shp.dtype)
 
     Beta_old = state.L_shp / state.L_rte
     G_rte = hp.k_shp / state.k_rte + jnp.sum(Beta_old, axis=0, keepdims=True)
