@@ -36,12 +36,27 @@ def synth_powerlaw(nU, nI, nnz, seed=0, dtype=np.float32):
     return y, iu, ii
 
 
+SCALES = {
+    # headline: the reference's own MillionSong TasteProfile shape
+    # (notebook cell 10: 1,019,318 users x 376,768 items, 38.7M train
+    # nonzeros, k=50) — the config where the user table (204 MB f32)
+    # leaves the fast-gather window, so column tiling + bfloat16 gather
+    # tables are actually engaged (PERFORMANCE.md "MillionSong scale")
+    "millionsong": dict(nU=1_019_318, nI=376_768, nnz=38_700_000, k=50,
+                        iters=20),
+    # secondary: both tables inside the fast-gather window (r1 headline)
+    "medium": dict(nU=200_000, nI=40_000, nnz=10_000_000, k=50, iters=30),
+}
+
+
 def main():
-    nU = int(os.environ.get("BENCH_NUSERS", 200_000))
-    nI = int(os.environ.get("BENCH_NITEMS", 40_000))
-    nnz = int(os.environ.get("BENCH_NNZ", 10_000_000))
-    k = int(os.environ.get("BENCH_K", 50))
-    iters = int(os.environ.get("BENCH_ITERS", 30))
+    scale = os.environ.get("BENCH_SCALE", "millionsong")
+    cfg = SCALES[scale]
+    nU = int(os.environ.get("BENCH_NUSERS", cfg["nU"]))
+    nI = int(os.environ.get("BENCH_NITEMS", cfg["nI"]))
+    nnz = int(os.environ.get("BENCH_NNZ", cfg["nnz"]))
+    k = int(os.environ.get("BENCH_K", cfg["k"]))
+    iters = int(os.environ.get("BENCH_ITERS", cfg["iters"]))
     engine = os.environ.get("BENCH_ENGINE", "auto")
 
     import jax
@@ -114,9 +129,9 @@ def main():
     # estimate of that length's cost, and their difference is the
     # steady-state per-iteration time.  (min of the *differences* would be
     # biased fast under this environment's +-50% throughput noise.)
-    d_small = min(timed(2) for _ in range(repeats))
-    d_big = min(timed(2 + iters) for _ in range(repeats))
-    per_iter = (d_big - d_small) / iters
+    t_small = [timed(2) for _ in range(repeats)]
+    t_big = [timed(2 + iters) for _ in range(repeats)]
+    per_iter = (min(t_big) - min(t_small)) / iters
 
     value = nnz / per_iter
     baseline = 1.85e6
@@ -125,6 +140,12 @@ def main():
         "value": value,
         "unit": "nnz/s",
         "vs_baseline": value / baseline,
+        # auditability: the raw repeat timings behind the min-of-runs
+        # statistic (tunnel throughput varies +-50% run to run), plus the
+        # config so the scale the number was measured at is unambiguous
+        "config": "%s nU=%d nI=%d nnz=%d k=%d" % (scale, nU, nI, nnz, k),
+        "repeats_small_s": [round(t, 3) for t in t_small],
+        "repeats_big_s": [round(t, 3) for t in t_big],
     }))
 
 

@@ -638,23 +638,38 @@ class HPF:
         n_dev = 1 if mesh is None else len(mesh.devices.ravel())
         if self.engine == "ell" and self.shard_tables and n_dev > 1:
             # model-parallel mode: tables row-sharded across the mesh, each
-            # device owns its rows' nonzeros; see parallel/table_sharded.py
+            # device owns its rows' nonzeros, and the opposite table streams
+            # around a ppermute ring in fast-window sub-tiles (optionally
+            # bfloat16); see parallel/table_sharded.py
+            from ..ops.ell import gather_table_dtype
             from ..parallel.table_sharded import (build_sharded_ell,
-                                                  make_table_sharded_step)
+                                                  make_table_sharded_step,
+                                                  plan_table_sharding)
 
-            nU_p = data_utils._next_multiple(self.nusers, n_dev)
-            nI_p = data_utils._next_multiple(self.nitems, n_dev)
+            gd = None
+            if self.gather_dtype == "bfloat16" or self.use_float:
+                gd = gather_table_dtype(max(self.nusers, self.nitems), self.k,
+                                        mode=self.gather_dtype)
+            g_item = 2 if gd is not None else np.dtype(self._dtype).itemsize
+            plan_u = plan_table_sharding(self.nusers, self.k, n_dev, g_item)
+            plan_i = plan_table_sharding(self.nitems, self.k, n_dev, g_item)
+            nU_p, nI_p = plan_u[0], plan_i[0]
             indptr_u, ind_u, dat_u = data_utils.build_csr(
                 pdata.ix_u, pdata.ix_i, pdata.y, self.nusers, self.nitems)
             indptr_i, ind_i, dat_i = data_utils.build_csr(
                 pdata.ix_i, pdata.ix_u, pdata.y, self.nitems, self.nusers)
             ip_u = np.concatenate([indptr_u, np.full(nU_p - self.nusers, indptr_u[-1])])
             ip_i = np.concatenate([indptr_i, np.full(nI_p - self.nitems, indptr_i[-1])])
-            se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, n_dev, dtype=self._dtype)
-            se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, n_dev, dtype=self._dtype)
+            se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, n_dev,
+                                     opp_plan=(plan_i[0], plan_i[2], plan_i[3]),
+                                     dtype=self._dtype)
+            se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, n_dev,
+                                     opp_plan=(plan_u[0], plan_u[2], plan_u[3]),
+                                     dtype=self._dtype)
             self._table_shard_pad = (nU_p, nI_p)
             return make_table_sharded_step(mesh, se_u, se_i, hp,
-                                           self.nusers, self.nitems)
+                                           self.nusers, self.nitems,
+                                           gather_dtype=gd)
 
         if self.engine == "ell":
             from ..ops.ell import (build_ell, device_ell, gather_table_dtype,

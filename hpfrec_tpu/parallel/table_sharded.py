@@ -4,40 +4,80 @@ The data-parallel engine replicates the factor tables and shards nonzeros.
 This engine shards BOTH: user-side tables (G_shp, G_rte, k_rte) are
 row-sharded by user, item-side tables by item, and each device owns the
 ELL-packed nonzeros of exactly its own rows (both the CSR-side and the
-CSC-side packing).  Per iteration the only communication is:
+CSC-side packing).  This is the distributed analogue SURVEY.md §7.3 calls
+the core novel engineering: routing per-nonzero contributions to the owner
+shard, here made trivial by partitioning nonzeros BY owner row so
+contributions never cross shards.
 
-  * two ``all_gather`` of the (rows, k) stabilized exp tables (each device
-    needs the full opposite-side table to compute its local phi sums), and
-  * two scalar-vector ``psum`` for the colsum terms of the rate updates.
+Ring-streamed opposite-table exchange
+-------------------------------------
+The first version all_gathered the FULL opposite exp table per iteration —
+O(n_opposite x k) memory per device (defeating the point of sharding for
+catalogs too big to replicate) and, worse, every E-step gather then ran
+against a large operand, i.e. in the slow-gather regime the single-chip
+engine's column tiling exists to avoid (ops/ell.py module docstring).
 
-Everything else — phi, segment sums, the Gamma updates — is local.  This
-is the distributed analogue SURVEY.md §7.3 calls the core novel
-engineering: routing per-nonzero contributions to the owner shard, here
-made trivial by partitioning nonzeros BY owner row so contributions never
-cross shards.
+This version never materializes the full opposite table.  Each device's
+segments are keyed at build time by the ring OFFSET ``o = (d - e) % ndev``
+of the opposite shard ``e`` they reference (cols stored shard-local), and
+at run time the opposite shard travels a ``ppermute`` ring: at step ``o``
+device ``d`` holds shard ``(d - o) % ndev`` and reduces exactly its
+offset-``o`` buckets against it.  Total communication equals one tiled
+all_gather (each shard visits each device once) but peak memory is TWO
+shards instead of the whole table, comm overlaps compute, and — with
+shards sub-tiled to the fast-gather window and exchanged in bfloat16
+(``gather_dtype``) — every gather runs against a <=40 MB operand.
 
-Padding: user/item counts are padded to a multiple of the mesh size; the
-padded rows are forced to zero (Theta/Beta) by row masks inside the step
-so they are inert in every colsum.
+Per iteration the remaining communication is two scalar-vector ``psum``
+for the colsum terms of the rate updates; phi, segment sums, and the
+Gamma updates are all local.
+
+Padding: user/item counts are padded so each device's row count is an
+exact multiple of the opposite side's sub-tile width
+(``plan_table_sharding``); padded rows are forced to zero (Theta/Beta) by
+row masks inside the step so they are inert in every colsum.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
 from ..models.state import Hyperparams, VariationalState
-from ..ops.ell import EllBucket, build_ell
+from ..ops.ell import FAST_GATHER_BYTES, EllBucket, build_ell
 from .mesh import DATA_AXIS
+
+
+def plan_table_sharding(n_rows: int, k: int, ndev: int,
+                        gather_itemsize: int = 4) -> Tuple[int, int, int, int]:
+    """Plan one side's padded row layout as a gather TARGET.
+
+    Returns ``(n_padded, per_dev, n_sub, chunk)``: rows are padded so that
+    ``per_dev = n_sub * chunk`` exactly, where ``chunk`` rows of the
+    exp table fit the fast-gather window (ops/ell.py measurements).  The
+    uniform chunk grid then aligns with shard boundaries, so every
+    column-tile of the opposite side's ELL packing maps to exactly one
+    (shard, sub-tile) pair.
+    """
+    per0 = -(-n_rows // ndev)
+    c0 = max(1, FAST_GATHER_BYTES // (k * gather_itemsize))
+    n_sub = max(1, -(-per0 // c0))
+    chunk = -(-per0 // n_sub)
+    per = n_sub * chunk
+    return per * ndev, per, n_sub, chunk
 
 
 class ShardedEll(NamedTuple):
     """Per-device ELL layouts stacked on a leading device axis.
 
     Bucket arrays: rows (ndev, m_b) [LOCAL row ids], cols (ndev, m_b, w)
-    [GLOBAL opposite-side ids], vals (ndev, m_b, w); inv_perm
-    (ndev, rows_per_dev); split info stacked likewise.
+    [opposite-side ids, SHARD-SUB-TILE-LOCAL], vals (ndev, m_b, w);
+    inv_perm (ndev, rows_per_dev); split info stacked likewise.
+
+    ``bucket_meta[j] = (offset, lo, hi)``: bucket ``j``'s segments reference
+    rows [lo, hi) of the opposite shard that arrives at ring step
+    ``offset`` (static — drives the unrolled ring schedule).
     """
 
     buckets: list
@@ -45,14 +85,28 @@ class ShardedEll(NamedTuple):
     split_rows: np.ndarray
     split_seg_pos: np.ndarray
     rows_per_dev: int
+    bucket_meta: Tuple[Tuple[int, int, int], ...]
+    per_opp: int
 
 
 def build_sharded_ell(indptr, indices, data, n_rows_padded, ndev,
-                      min_width=8, max_width=8192, dtype=np.float32) -> ShardedEll:
+                      opp_plan: Tuple[int, int, int],
+                      min_width=8, max_width=8192,
+                      dtype=np.float32) -> ShardedEll:
     """Build one ELL layout per device over its contiguous row range, then
-    stack them with common bucket widths and padded segment counts."""
+    stack them on a common (ring offset, sub-tile, width) bucket frame.
+
+    ``opp_plan = (n_opp_padded, n_sub, chunk)`` describes the opposite
+    side's padded layout (from :func:`plan_table_sharding`) — it must match
+    the padding the opposite state tables actually get, since cols are
+    stored local to the (shard, sub-tile) grid it defines.
+    """
     assert n_rows_padded % ndev == 0
     per = n_rows_padded // ndev
+    n_opp_padded, n_sub, chunk = opp_plan
+    per_opp = n_sub * chunk
+    assert n_opp_padded == per_opp * ndev
+
     layouts = []
     for d in range(ndev):
         lo, hi = d * per, (d + 1) * per
@@ -61,27 +115,40 @@ def build_sharded_ell(indptr, indices, data, n_rows_padded, ndev,
         lind = indices[indptr[lo]:indptr[hi]]
         ldat = data[indptr[lo]:indptr[hi]]
         layouts.append(build_ell(lptr, lind, ldat, per, min_width=min_width,
-                                 max_width=max_width, dtype=dtype))
+                                 max_width=max_width, dtype=dtype,
+                                 col_chunk_rows=chunk, n_cols=n_opp_padded))
 
-    widths = sorted({b.cols.shape[1] for l in layouts for b in l.buckets})
-    # common per-width segment count = max over devices
-    m_of = {w: 0 for w in widths}
-    for l in layouts:
-        for b in l.buckets:
-            m_of[b.cols.shape[1]] = max(m_of[b.cols.shape[1]], b.rows.shape[0])
+    # Re-key each device's buckets by (ring offset, sub-tile, width): the
+    # absolute chunk index of a bucket's span maps to opposite shard
+    # e = ac // n_sub and sub-tile c = ac % n_sub; the shard arrives at
+    # ring step o = (d - e) % ndev.  The common frame is the union of keys
+    # with per-key segment counts padded to the max over devices.
+    def key_of(d, span, w):
+        ac = span[0] // chunk
+        e, c = ac // n_sub, ac % n_sub
+        return ((d - e) % ndev, c, w)
 
-    # Re-place each device's segments into the common padded bucket frame and
-    # recompute segment positions in that frame.
+    keys = sorted({key_of(d, l.col_spans[j], b.cols.shape[1])
+                   for d, l in enumerate(layouts)
+                   for j, b in enumerate(l.buckets)})
+    m_of = {kk: 0 for kk in keys}
+    for d, l in enumerate(layouts):
+        for j, b in enumerate(l.buckets):
+            kk = key_of(d, l.col_spans[j], b.cols.shape[1])
+            m_of[kk] = max(m_of[kk], b.rows.shape[0])
+
     buckets = []
+    meta = []
     offsets = {}
     pos = 0
-    for w in widths:
-        m = m_of[w]
-        offsets[w] = pos
-        rows = np.zeros((ndev, m), dtype=np.int32)
-        cols = np.zeros((ndev, m, w), dtype=np.int32)
-        vals = np.zeros((ndev, m, w), dtype=dtype)
-        buckets.append(EllBucket(rows=rows, cols=cols, vals=vals))
+    for kk in keys:
+        o, c, w = kk
+        m = m_of[kk]
+        offsets[kk] = pos
+        buckets.append(EllBucket(rows=np.zeros((ndev, m), dtype=np.int32),
+                                 cols=np.zeros((ndev, m, w), dtype=np.int32),
+                                 vals=np.zeros((ndev, m, w), dtype=dtype)))
+        meta.append((o, c * chunk, (c + 1) * chunk))
         pos += m
     total_segs = pos
 
@@ -89,54 +156,77 @@ def build_sharded_ell(indptr, indices, data, n_rows_padded, ndev,
     max_split = max((l.split_seg_pos.shape[0] for l in layouts), default=0)
     max_segs = max((l.split_seg_pos.shape[1] for l in layouts), default=1)
     split_rows = np.zeros((ndev, max(max_split, 1)), dtype=np.int64)
-    split_seg_pos = np.full((ndev, max(max_split, 1), max_segs), -1, dtype=np.int64)
+    split_seg_pos = np.full((ndev, max(max_split, 1), max_segs), total_segs,
+                            dtype=np.int64)
 
     for d, l in enumerate(layouts):
-        # map this device's original segment positions -> common-frame positions
+        # map this device's original segment positions -> common-frame
+        # positions (build_ell's segment order is concat over ITS buckets)
         remap_chunks = []
-        cursor = 0
-        for b in l.buckets:
-            w = b.cols.shape[1]
+        for j, b in enumerate(l.buckets):
+            kk = key_of(d, l.col_spans[j], b.cols.shape[1])
             m_local = b.rows.shape[0]
-            tgt = buckets[widths.index(w)]
+            slot = keys.index(kk)
+            tgt = buckets[slot]
             tgt.rows[d, :m_local] = b.rows
             tgt.cols[d, :m_local] = b.cols
             tgt.vals[d, :m_local] = b.vals
-            remap_chunks.append(offsets[w] + np.arange(m_local, dtype=np.int64))
-            cursor += m_local
+            remap_chunks.append(offsets[kk] + np.arange(m_local, dtype=np.int64))
         remap = np.concatenate(remap_chunks) if remap_chunks else np.zeros(0, np.int64)
         inv_perm[d] = remap[l.inv_perm]
         ns = l.split_rows.shape[0]
         if ns:
             split_rows[d, :ns] = l.split_rows
             sp = l.split_seg_pos
+            # invalid (-1) positions -> total_segs (the appended zero row)
             mapped = np.where(sp >= 0, remap[np.clip(sp, 0, None)], total_segs)
             split_seg_pos[d, :ns, :sp.shape[1]] = mapped
-        # unfilled split slots: point rows at row 0's... use an inert scheme:
-        # rows default 0 with all seg positions == total_segs (zero row)
     return ShardedEll(buckets=buckets, inv_perm=inv_perm,
                       split_rows=split_rows, split_seg_pos=split_seg_pos,
-                      rows_per_dev=per)
+                      rows_per_dev=per, bucket_meta=tuple(meta),
+                      per_opp=per_opp)
 
 
-def _local_table_sums(t_self_local, t_other_full, se: ShardedEll):
-    """Per-local-row phi sums on one device (inside shard_map).  The bucket
-    arrays arrive with their leading device axis stripped."""
+def _ring_table_sums(t_self_loc, opp_shard, se: ShardedEll, ndev: int):
+    """Per-local-row phi sums on one device (inside shard_map), streaming
+    the opposite table's shards around a ``ppermute`` ring.  At step ``o``
+    this device holds opposite shard ``(d - o) % ndev`` and reduces exactly
+    the buckets whose ``bucket_meta`` offset is ``o``; shard sub-tiles are
+    statically sliced so every gather operand sits in the fast window.
+    The bucket arrays arrive with their leading device axis stripped."""
+    import jax
     import jax.numpy as jnp
 
     from ..ops.ell import _bucket_phi_sums
 
-    parts = []
+    k = opp_shard.shape[1]
+    per_opp = se.per_opp
+    parts = [None] * len(se.buckets)
+    buf = opp_shard
     dep = None
-    for b in se.buckets:
-        out, dep = _bucket_phi_sums(t_self_local, t_other_full,
-                                    b.rows, b.cols, b.vals, dep=dep)
-        parts.append(out)
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+    for o in range(ndev):
+        slices = {}
+        for j, b in enumerate(se.buckets):
+            mo, lo, hi = se.bucket_meta[j]
+            if mo != o:
+                continue
+            if (lo, hi) == (0, per_opp):
+                tab = buf
+            else:
+                if (lo, hi) not in slices:
+                    slices[(lo, hi)] = jax.lax.slice(buf, (lo, 0), (hi, k))
+                tab = slices[(lo, hi)]
+            out, dep = _bucket_phi_sums(t_self_loc, tab, b.rows, b.cols,
+                                        b.vals, dep=dep)
+            parts[j] = out
+        if o < ndev - 1:
+            buf = jax.lax.ppermute(buf, DATA_AXIS, perm)
     seg = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     out = seg[se.inv_perm]
     # additive split-row patch (remaining segments beyond the first);
-    # invalid positions (-1 / total_segs) hit the appended zero row, so
-    # padded and unused slots — even with duplicate row ids — add nothing
+    # invalid positions (total_segs) hit the appended zero row, so padded
+    # and unused slots — even with duplicate row ids — add nothing
     segz = jnp.concatenate([seg, jnp.zeros((1, seg.shape[1]), seg.dtype)], axis=0)
     extra = jnp.sum(segz[se.split_seg_pos], axis=1)  # (n_split, k)
     out = out.at[se.split_rows].add(extra, mode="promise_in_bounds")
@@ -144,12 +234,17 @@ def _local_table_sums(t_self_local, t_other_full, se: ShardedEll):
 
 
 def make_table_sharded_step(mesh, ell_u: ShardedEll, ell_i: ShardedEll,
-                            hp: Hyperparams, n_users_real: int, n_items_real: int):
+                            hp: Hyperparams, n_users_real: int,
+                            n_items_real: int, gather_dtype=None):
     """Build a jitted ``(state_sharded, niter) -> state_sharded`` runner with
     user tables sharded P('d') by row and item tables likewise.
 
     The reference update order (``cython_loops.pxi:227-259``) is preserved;
-    padded rows are masked to keep Theta/Beta zero there.
+    padded rows are masked to keep Theta/Beta zero there.  ``gather_dtype``
+    (None | jnp.bfloat16) is the exchange/gather dtype of the per-iteration
+    exp tables — bfloat16 halves both ICI volume and gather-operand bytes;
+    arithmetic promotes to float32 right after each gather (same contract
+    as the data-parallel engine's ``gather_dtype``).
     """
     import jax
     import jax.numpy as jnp
@@ -165,11 +260,14 @@ def make_table_sharded_step(mesh, ell_u: ShardedEll, ell_i: ShardedEll,
         G_shp, G_rte, L_shp, L_rte, k_rte, t_rte = state
         t_loc = exp_elog_tables(G_shp, G_rte) * umask
         b_loc = exp_elog_tables(L_shp, L_rte) * imask
-        t_full = jax.lax.all_gather(t_loc, DATA_AXIS, axis=0, tiled=True)
-        b_full = jax.lax.all_gather(b_loc, DATA_AXIS, axis=0, tiled=True)
+        if gather_dtype is not None:
+            t_loc = t_loc.astype(gather_dtype)
+            b_loc = b_loc.astype(gather_dtype)
 
-        su = _local_table_sums(t_loc, b_full, ell_u_local[0])
-        si = _local_table_sums(b_loc, t_full, ell_i_local[0])
+        su = _ring_table_sums(t_loc, b_loc, ell_u_local[0], ndev)
+        si = _ring_table_sums(b_loc, t_loc, ell_i_local[0], ndev)
+        su = su.astype(G_shp.dtype)
+        si = si.astype(L_shp.dtype)
 
         Beta_old = jnp.where(imask, L_shp / L_rte, 0.0)
         beta_colsum = jax.lax.psum(jnp.sum(Beta_old, axis=0, keepdims=True), DATA_AXIS)
@@ -184,14 +282,6 @@ def make_table_sharded_step(mesh, ell_u: ShardedEll, ell_i: ShardedEll,
         t_rte = hp.add_t_rte + jnp.sum(Beta, axis=1, keepdims=True)
         return (G_shp, G_rte, L_shp, L_rte, k_rte, t_rte)
 
-    # the ELL arrays are closed over via shard_map inputs; build specs
-    def flat_bucket_arrays(se: ShardedEll):
-        out = []
-        for b in se.buckets:
-            out += [b.rows, b.cols, b.vals]
-        out += [se.inv_perm, se.split_rows, se.split_seg_pos]
-        return out
-
     nb_u = len(ell_u.buckets)
     nb_i = len(ell_i.buckets)
     ell_u_local = []
@@ -205,11 +295,13 @@ def make_table_sharded_step(mesh, ell_u: ShardedEll, ell_i: ShardedEll,
         se_u = ShardedEll(
             buckets=[EllBucket(*fu[3 * i: 3 * i + 3]) for i in range(nb_u)],
             inv_perm=fu[-3], split_rows=fu[-2], split_seg_pos=fu[-1],
-            rows_per_dev=per_u)
+            rows_per_dev=per_u, bucket_meta=ell_u.bucket_meta,
+            per_opp=ell_u.per_opp)
         se_i = ShardedEll(
             buckets=[EllBucket(*fi[3 * i: 3 * i + 3]) for i in range(nb_i)],
             inv_perm=fi[-3], split_rows=fi[-2], split_seg_pos=fi[-1],
-            rows_per_dev=per_i)
+            rows_per_dev=per_i, bucket_meta=ell_i.bucket_meta,
+            per_opp=ell_i.per_opp)
         ell_u_local.clear(); ell_u_local.append(se_u)
         ell_i_local.clear(); ell_i_local.append(se_i)
 

@@ -22,7 +22,8 @@ def test_table_sharded_step_matches_replicated():
     from hpfrec_tpu.parallel import make_mesh
     from hpfrec_tpu.parallel.table_sharded import (build_sharded_ell,
                                                    make_table_sharded_step,
-                                                   pad_state)
+                                                   pad_state,
+                                                   plan_table_sharding)
 
     assert len(jax.devices()) == 8
     nU, nI, k = 83, 45, 6  # deliberately not multiples of 8
@@ -39,14 +40,19 @@ def test_table_sharded_step_matches_replicated():
     for _ in range(3):
         ref = cavi_step_ell(ref, lu, li, hp)
 
-    # table-sharded: pad rows to multiples of 8
+    # table-sharded: pad rows per the ring-tiling plan
     mesh = make_mesh()
-    nU_p = ((nU + 7) // 8) * 8
-    nI_p = ((nI + 7) // 8) * 8
+    plan_u = plan_table_sharding(nU, k, 8)
+    plan_i = plan_table_sharding(nI, k, 8)
+    nU_p, nI_p = plan_u[0], plan_i[0]
     ip_u = np.concatenate([indptr_u, np.full(nU_p - nU, indptr_u[-1])])
     ip_i = np.concatenate([indptr_i, np.full(nI_p - nI, indptr_i[-1])])
-    se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, 8, max_width=32)
-    se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, 8, max_width=32)
+    se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, 8,
+                             opp_plan=(plan_i[0], plan_i[2], plan_i[3]),
+                             max_width=32)
+    se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, 8,
+                             opp_plan=(plan_u[0], plan_u[2], plan_u[3]),
+                             max_width=32)
     run = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI)
 
     padded = pad_state(state0, nU_p, nI_p)
@@ -99,7 +105,8 @@ def test_table_sharded_with_split_rows():
     from hpfrec_tpu.parallel import make_mesh
     from hpfrec_tpu.parallel.table_sharded import (build_sharded_ell,
                                                    make_table_sharded_step,
-                                                   pad_state)
+                                                   pad_state,
+                                                   plan_table_sharding)
 
     rng = np.random.default_rng(0)
     nU, nI, k = 64, 16, 5
@@ -125,8 +132,14 @@ def test_table_sharded_with_split_rows():
     ref = cavi_step_ell(state0, lu, li, hp)
 
     mesh = make_mesh()
-    se_u = build_sharded_ell(indptr_u, ind_u, dat_u, nU, 8, max_width=16)
-    se_i = build_sharded_ell(indptr_i, ind_i, dat_i, nI, 8, max_width=16)
+    plan_u = plan_table_sharding(nU, k, 8)
+    plan_i = plan_table_sharding(nI, k, 8)
+    se_u = build_sharded_ell(indptr_u, ind_u, dat_u, nU, 8,
+                             opp_plan=(plan_i[0], plan_i[2], plan_i[3]),
+                             max_width=16)
+    se_i = build_sharded_ell(indptr_i, ind_i, dat_i, nI, 8,
+                             opp_plan=(plan_u[0], plan_u[2], plan_u[3]),
+                             max_width=16)
     run = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI)
     out = run(pad_state(state0, nU, nI), jnp.asarray(1, jnp.int32))
 
@@ -134,3 +147,92 @@ def test_table_sharded_with_split_rows():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.G_shp), np.asarray(ref.G_shp),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_table_sharded_sub_tiled_ring():
+    """Force multiple sub-tiles per shard (n_sub > 1) so the within-shard
+    static-slice path of the ring runs, and check parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.ops.ell import build_ell, cavi_step_ell, device_ell
+    from hpfrec_tpu.parallel import make_mesh
+    from hpfrec_tpu.parallel.table_sharded import (build_sharded_ell,
+                                                   make_table_sharded_step,
+                                                   pad_state)
+
+    nU, nI, k = 83, 45, 6
+    y, iu, ii = synth_counts(nU, nI, nnz=1100, seed=5)
+    hp = Hyperparams(k=k)
+    state0 = initialize_state(nU, nI, hp, 31)
+
+    indptr_u, ind_u, dat_u = _csr(y, iu, ii, nU)
+    indptr_i, ind_i, dat_i = _csr(y, ii, iu, nI)
+    lu = device_ell(build_ell(indptr_u, ind_u, dat_u, nU, max_width=32))
+    li = device_ell(build_ell(indptr_i, ind_i, dat_i, nI, max_width=32))
+    ref = cavi_step_ell(cavi_step_ell(state0, lu, li, hp), lu, li, hp)
+
+    # hand-build plans with 3 sub-tiles per shard on each side
+    mesh = make_mesh()
+    per_u = 3 * 4          # n_sub=3, chunk=4 -> per=12, padded 96 >= 83
+    per_i = 3 * 2          # n_sub=3, chunk=2 -> per=6, padded 48 >= 45
+    nU_p, nI_p = per_u * 8, per_i * 8
+    ip_u = np.concatenate([indptr_u, np.full(nU_p - nU, indptr_u[-1])])
+    ip_i = np.concatenate([indptr_i, np.full(nI_p - nI, indptr_i[-1])])
+    se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, 8,
+                             opp_plan=(nI_p, 3, 2), max_width=32)
+    se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, 8,
+                             opp_plan=(nU_p, 3, 4), max_width=32)
+    assert any(m[0] > 0 for m in se_u.bucket_meta)   # ring actually used
+    assert len({m[1:] for m in se_u.bucket_meta}) > 1  # sub-tiles used
+    run = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI)
+    out = run(pad_state(state0, nU_p, nI_p), jnp.asarray(2, jnp.int32))
+
+    np.testing.assert_allclose(np.asarray(out.G_shp)[:nU], np.asarray(ref.G_shp),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.L_shp)[:nI], np.asarray(ref.L_shp),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_table_sharded_bf16_ring_close_to_f32():
+    """bfloat16 exchange/gather tables on the ring stay close to the f32
+    table-sharded result (same contract as the data-parallel engine's
+    gather_dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.parallel import make_mesh
+    from hpfrec_tpu.parallel.table_sharded import (build_sharded_ell,
+                                                   make_table_sharded_step,
+                                                   pad_state,
+                                                   plan_table_sharding)
+
+    nU, nI, k = 83, 45, 6
+    y, iu, ii = synth_counts(nU, nI, nnz=1100, seed=5)
+    hp = Hyperparams(k=k)
+    state0 = initialize_state(nU, nI, hp, 31)
+    indptr_u, ind_u, dat_u = _csr(y, iu, ii, nU)
+    indptr_i, ind_i, dat_i = _csr(y, ii, iu, nI)
+
+    mesh = make_mesh()
+    plan_u = plan_table_sharding(nU, k, 8)
+    plan_i = plan_table_sharding(nI, k, 8)
+    nU_p, nI_p = plan_u[0], plan_i[0]
+    ip_u = np.concatenate([indptr_u, np.full(nU_p - nU, indptr_u[-1])])
+    ip_i = np.concatenate([indptr_i, np.full(nI_p - nI, indptr_i[-1])])
+    se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, 8,
+                             opp_plan=(plan_i[0], plan_i[2], plan_i[3]))
+    se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, 8,
+                             opp_plan=(plan_u[0], plan_u[2], plan_u[3]))
+    run_f32 = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI)
+    run_bf16 = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI,
+                                       gather_dtype=jnp.bfloat16)
+    padded = pad_state(state0, nU_p, nI_p)
+    o32 = run_f32(padded, jnp.asarray(2, jnp.int32))
+    o16 = run_bf16(padded, jnp.asarray(2, jnp.int32))
+    np.testing.assert_allclose(np.asarray(o16.G_shp), np.asarray(o32.G_shp),
+                               rtol=0.05, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(o16.L_shp), np.asarray(o32.L_shp),
+                               rtol=0.05, atol=1e-3)
