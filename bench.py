@@ -63,6 +63,11 @@ def main():
     import jax.numpy as jnp
 
     from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.utils.profiling import enable_compilation_cache
+
+    # compile at catalog scale runs minutes through this environment's
+    # remote-compile tunnel; the persistent cache makes repeat runs warm
+    enable_compilation_cache()
 
     hp = Hyperparams(k=k)
     y, iu, ii = synth_powerlaw(nU, nI, nnz)

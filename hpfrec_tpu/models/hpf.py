@@ -221,6 +221,22 @@ class HPF:
         assert ncores > 0
         assert isinstance(ncores, int)
 
+        if ncores > 1:
+            # reference parity (``hpfrec/__init__.py:251-256``): warn when
+            # multi-threading is requested but the native host kernels were
+            # built without OpenMP.  ncores only affects the host-side data
+            # layer here (the compute path is XLA), so the warning names
+            # what is actually degraded.
+            from .. import _native
+
+            if not _native.get():
+                warnings.warn(
+                    "Attempting to use more than 1 thread, but the native "
+                    "host-side data kernels were built without "
+                    "multi-threading support - host preprocessing "
+                    "(reindex/CSR/ELL packing) will run single-threaded; "
+                    "TPU compute is unaffected.")
+
         if random_seed is not None:
             assert isinstance(random_seed, int)
 
@@ -506,12 +522,14 @@ class HPF:
             if self.verbose:
                 print("Resuming from checkpoint at iteration %d..." % meta["niter"])
 
-        # The single-device full-batch ELL path evaluates metrics on the
-        # ELL layout itself (ell_train_llk_rmse), so the blocked-COO device
-        # copy (~12 bytes/nonzero) is never needed there.
+        # The full-batch ELL paths evaluate metrics on the ELL layout itself
+        # (ell_train_llk_rmse; sharded/table-sharded via shard_map twins),
+        # so the blocked-COO device copy (~12 bytes/nonzero) is never
+        # needed there.
         self._metric_ell = None
-        n_dev = 1 if mesh is None else len(mesh.devices.ravel())
-        if self.engine == "ell" and not svi_mode and n_dev == 1 and not self.shard_tables:
+        self._metric_sums_fn = None
+        self._metric_pad = None
+        if self.engine == "ell" and not svi_mode:
             data, nnz = None, int(pdata.y.shape[0])
         else:
             data, nnz = self._blocked_device_data(pdata.y, pdata.ix_u, pdata.ix_i, mesh)
@@ -524,8 +542,10 @@ class HPF:
             print("Initializing optimization procedure...")
         st_time = time.time()
 
-        from ..utils.profiling import FitStats, maybe_trace
+        from ..utils.profiling import (FitStats, enable_compilation_cache,
+                                       maybe_trace)
 
+        enable_compilation_cache()
         stats = FitStats(nnz=nnz).start()
         with maybe_trace(self.profile_dir):
             if svi_mode:
@@ -579,9 +599,8 @@ class HPF:
             if val_data is not None:
                 llk, rmse = M.val_llk_rmse(Theta, Beta, val_data, val_nnz, self.full_llk)
                 dname = "val"
-            elif self._metric_ell is not None:
-                llk, rmse = M.ell_train_llk_rmse(Theta, Beta, self._metric_ell,
-                                                 nnz, self.full_llk)
+            elif self._metric_ell is not None or self._metric_sums_fn is not None:
+                llk, rmse = self._ell_metric_eval(Theta, Beta, nnz)
                 dname = "train"
             else:
                 llk, rmse = M.train_llk_rmse(Theta, Beta, data, nnz, self.full_llk)
@@ -599,6 +618,30 @@ class HPF:
                     return True, last_crit, Theta_prev
                 return False, llk, Theta_prev
             return False, last_crit, Theta_prev
+
+    def _ell_metric_eval(self, Theta, Beta, nnz):
+        """Train llk/rmse on the ELL layout; uses the sharded shard_map twin
+        (``_metric_sums_fn``) when one was built.  Re-pads Theta/Beta with
+        zero rows (inert: bucket padding has vals == 0, and zero rows do not
+        move the colsum correction) for the table-sharded ring metric when
+        the final, already-sliced state is evaluated."""
+        from ..ops import metrics as M
+
+        if self._metric_pad is not None:
+            import jax.numpy as jnp
+
+            nU_p, nI_p = self._metric_pad
+            if Theta.shape[0] < nU_p:
+                Theta = jnp.concatenate(
+                    [Theta, jnp.zeros((nU_p - Theta.shape[0], Theta.shape[1]),
+                                      Theta.dtype)])
+            if Beta.shape[0] < nI_p:
+                Beta = jnp.concatenate(
+                    [Beta, jnp.zeros((nI_p - Beta.shape[0], Beta.shape[1]),
+                                     Beta.dtype)])
+        return M.ell_train_llk_rmse(Theta, Beta, self._metric_ell, nnz,
+                                    self.full_llk,
+                                    sums_fn=self._metric_sums_fn)
 
     def _nan_sentinel(self, value, it):
         """Halt with a clear error on numerical blow-up (the reference's
@@ -667,6 +710,14 @@ class HPF:
                                      opp_plan=(plan_u[0], plan_u[2], plan_u[3]),
                                      dtype=self._dtype)
             self._table_shard_pad = (nU_p, nI_p)
+            # train-metric checks ride the same ppermute ring instead of
+            # falling back to the blocked-COO path; _metric_pad re-pads
+            # Theta/Beta when the final (sliced) state is evaluated
+            from ..parallel.table_sharded import make_table_sharded_metric
+
+            self._metric_sums_fn = make_table_sharded_metric(
+                mesh, se_u, self.full_llk)
+            self._metric_pad = (nU_p, nI_p)
             return make_table_sharded_step(mesh, se_u, se_i, hp,
                                            self.nusers, self.nitems,
                                            gather_dtype=gd)
@@ -721,11 +772,16 @@ class HPF:
                 ell_i = device_ell(ell_i)
                 phi_sums_fn = None
 
-            if n_dev == 1:
-                # reuse the user-side layout for train llk/rmse checks:
-                # its tiled gathers make the metric pass ~5x cheaper than
-                # the blocked-COO path at catalog scale
-                self._metric_ell = ell_u
+            # reuse the user-side layout for train llk/rmse checks: its
+            # tiled gathers make the metric pass ~5x cheaper than the
+            # blocked-COO path at catalog scale; on a mesh the per-op
+            # partials are psum'd by a shard_map twin
+            self._metric_ell = ell_u
+            if n_dev > 1:
+                from ..parallel.engine import make_sharded_ell_metric
+
+                self._metric_sums_fn = make_sharded_ell_metric(
+                    mesh, ell_u, self.full_llk)
 
             # NOTE: layouts are passed as ARGUMENTS — closing over device
             # arrays embeds them as HLO constants, which blows up the
@@ -1044,10 +1100,9 @@ class HPF:
                 if val_data is not None and self.stop_crit == 'val-llk':
                     llk, rmse = M.val_llk_rmse(Theta, Beta, val_data, val_nnz,
                                                self.full_llk)
-                elif self._metric_ell is not None:
-                    llk, rmse = M.ell_train_llk_rmse(Theta, Beta,
-                                                     self._metric_ell, nnz,
-                                                     self.full_llk)
+                elif (self._metric_ell is not None
+                      or self._metric_sums_fn is not None):
+                    llk, rmse = self._ell_metric_eval(Theta, Beta, nnz)
                 else:
                     llk, rmse = M.train_llk_rmse(Theta, Beta, data, nnz,
                                                  self.full_llk)
@@ -1063,9 +1118,8 @@ class HPF:
                 corr = float(M.rowsum_dot_rows(Theta, Beta, vu, vi))
                 llk = float(np.asarray(ll, dtype=np.float64).sum()) - corr
                 rmse = float(np.sqrt(np.asarray(se, dtype=np.float64).sum() / val_nnz))
-            elif self._metric_ell is not None:
-                llk, rmse = M.ell_train_llk_rmse(Theta, Beta, self._metric_ell,
-                                                 nnz, self.full_llk)
+            elif self._metric_ell is not None or self._metric_sums_fn is not None:
+                llk, rmse = self._ell_metric_eval(Theta, Beta, nnz)
             else:
                 llk, rmse = M.train_llk_rmse(Theta, Beta, data, nnz, self.full_llk)
             self._last_llk, self._last_rmse = llk, rmse

@@ -76,17 +76,18 @@ def val_llk_rmse(Theta, Beta, data: BlockedCOO, nnz: int, full_llk: bool = False
     return llk, rmse
 
 
-@functools.partial(jax.jit, static_argnames=("full_llk",))
-def ell_llk_rmse_sums(Theta, Beta, layout, full_llk: bool = False):
-    """Per-op partial sums of the llk pieces over a (possibly column-tiled)
-    user-side ELL layout — same contract as :func:`llk_rmse_sums` but the
-    Beta gathers ride the layout's fast-window table chunks, so a
-    convergence check at MillionSong scale costs ~0.3 s instead of ~1.7 s
-    of slow whole-table gathers.  Returns stacked (n_ops,) partials.
+def ell_llk_parts(Theta, Beta, buckets, col_spans, full_llk: bool,
+                  dep=None):
+    """Per-fused-op partial sums of the llk pieces over ELL buckets.
 
-    The layout's padding slots carry ``vals == 0`` and in-bounds indices,
-    so they are masked exactly like the blocked-COO path's padding.
-    """
+    The common body behind the single-device jit wrapper and the sharded
+    engines' shard_map local functions (``Beta`` may be a ring shard there;
+    ``col_spans`` then carries spans into that shard).  Bucket padding
+    slots carry ``vals == 0`` and in-bounds indices, so they are masked
+    exactly like the blocked-COO path's padding.  Returns three lists of
+    scalar partials (combined in float64 on host by the callers, which
+    bounds accumulation error like the reference's long-double
+    accumulators)."""
     from .ell import TARGET_SLOTS
 
     acc_dt = (jnp.float32 if Theta.dtype in (jnp.bfloat16, jnp.float32)
@@ -94,10 +95,9 @@ def ell_llk_rmse_sums(Theta, Beta, layout, full_llk: bool = False):
     ll_p, se_p, sp_p = [], [], []
     k = Beta.shape[1]
     slices = {}
-    dep = None
-    for j, b in enumerate(layout.buckets):
-        span = layout.col_spans[j] if layout.col_spans is not None else None
-        if span is None:
+    for j, b in enumerate(buckets):
+        span = col_spans[j] if col_spans is not None else None
+        if span is None or span == (0, Beta.shape[0]):
             tab = Beta
         else:
             if span not in slices:
@@ -125,15 +125,34 @@ def ell_llk_rmse_sums(Theta, Beta, layout, full_llk: bool = False):
             ll_p.append(ll_s)
             se_p.append(se_s)
             sp_p.append(sp_s)
+    return ll_p, se_p, sp_p
+
+
+@functools.partial(jax.jit, static_argnames=("full_llk",))
+def ell_llk_rmse_sums(Theta, Beta, layout, full_llk: bool = False):
+    """Per-op partial sums of the llk pieces over a (possibly column-tiled)
+    user-side ELL layout — same contract as :func:`llk_rmse_sums` but the
+    Beta gathers ride the layout's fast-window table chunks, so a
+    convergence check at MillionSong scale costs ~0.3 s instead of ~1.7 s
+    of slow whole-table gathers.  Returns stacked (n_ops,) partials."""
+    ll_p, se_p, sp_p = ell_llk_parts(Theta, Beta, layout.buckets,
+                                     layout.col_spans, full_llk)
     return jnp.stack(ll_p), jnp.stack(se_p), jnp.stack(sp_p)
 
 
-def ell_train_llk_rmse(Theta, Beta, layout, nnz: int, full_llk: bool = False):
+def ell_train_llk_rmse(Theta, Beta, layout, nnz: int, full_llk: bool = False,
+                       sums_fn=None):
     """Training criterion over the ELL layout (exact all-pairs correction
-    via colsum(Theta).colsum(Beta), reference ``pxi:78``)."""
+    via colsum(Theta).colsum(Beta), reference ``pxi:78``).  ``sums_fn``
+    (a ``(Theta, Beta) -> (ll, se, sp)`` callable, full_llk baked in) lets
+    the sharded engines substitute their shard_map metric — the layout
+    argument is then unused."""
     import numpy as np
 
-    ll, se, _ = ell_llk_rmse_sums(Theta, Beta, layout, full_llk=full_llk)
+    if sums_fn is not None:
+        ll, se, _ = sums_fn(Theta, Beta)
+    else:
+        ll, se, _ = ell_llk_rmse_sums(Theta, Beta, layout, full_llk=full_llk)
     llk = float(np.asarray(ll, dtype=np.float64).sum()) - float(
         _colsum_dot(Theta, Beta))
     rmse = float(np.sqrt(np.asarray(se, dtype=np.float64).sum() / nnz))

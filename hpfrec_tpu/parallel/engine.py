@@ -159,3 +159,46 @@ def make_sharded_segment_sums(mesh: Mesh):
         return sharded(elogt, elogb, data.y, data.ix_u, data.ix_i)
 
     return segment_sums_fn
+
+
+def make_sharded_ell_metric(mesh: Mesh, layout, full_llk: bool):
+    """Sharded counterpart of ``ops.metrics.ell_llk_rmse_sums`` for the
+    data-parallel engine: each device reduces the llk pieces over its
+    bucket-segment shard (tables replicated, spans keep the tiled
+    fast-gather path), and a ``psum`` combines the per-op partials.
+    Returns a ``(Theta, Beta) -> (ll, se, sp)`` callable suitable as the
+    ``sums_fn`` of ``ops.metrics.ell_train_llk_rmse``, so multi-chip
+    convergence checks no longer fall back to the blocked-COO path."""
+    from ..ops.ell import EllBucket
+    from ..ops.metrics import ell_llk_parts
+
+    n_buckets = len(layout.buckets)
+    col_spans = layout.col_spans
+
+    def local(Theta, Beta, *flat):
+        buckets = [EllBucket(*flat[3 * i: 3 * i + 3]) for i in range(n_buckets)]
+        ll_p, se_p, sp_p = ell_llk_parts(Theta, Beta, buckets, col_spans,
+                                         full_llk)
+        out = jnp.stack([jnp.stack(ll_p), jnp.stack(se_p), jnp.stack(sp_p)])
+        return jax.lax.psum(out, DATA_AXIS)
+
+    bucket_specs = []
+    for _ in range(n_buckets):
+        bucket_specs += [P(DATA_AXIS), P(DATA_AXIS, None), P(DATA_AXIS, None)]
+    sharded = jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), *bucket_specs),
+        out_specs=P(),
+        check_vma=False,
+    ))
+
+    flat = []
+    for b in layout.buckets:  # already device-resident, pre-sharded
+        flat += [b.rows, b.cols, b.vals]
+
+    def sums_fn(Theta, Beta):
+        out = sharded(Theta, Beta, *flat)
+        return out[0], out[1], out[2]
+
+    return sums_fn

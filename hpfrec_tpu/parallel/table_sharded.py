@@ -386,3 +386,70 @@ def pad_state(state: VariationalState, n_users_padded, n_items_padded):
         k_rte=pad_rows(state.k_rte, n_users_padded, 1),
         t_rte=pad_rows(state.t_rte, n_items_padded, 1),
     )
+
+
+def make_table_sharded_metric(mesh, ell_u: ShardedEll, full_llk: bool):
+    """Train-metric partials for the table-sharded engine: each device
+    reduces the llk pieces of its own users' nonzeros, streaming the Beta
+    shards around the same ppermute ring as the training step, and a
+    ``psum`` combines the per-op partials.  Returns a
+    ``(Theta_sharded, Beta_sharded) -> (ll, se, sp)`` callable for
+    ``ops.metrics.ell_train_llk_rmse`` — padded rows carry zero vals, so
+    they are inert."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.metrics import ell_llk_parts
+
+    ndev = len(mesh.devices.ravel())
+    nb = len(ell_u.buckets)
+    per_opp = ell_u.per_opp
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def local(Theta_loc, Beta_loc, *flat):
+        buckets = [EllBucket(*flat[3 * i: 3 * i + 3]) for i in range(nb)]
+        ll_p, se_p, sp_p = [], [], []
+        buf = Beta_loc
+        dep = None
+        for o in range(ndev):
+            idx = [j for j in range(nb) if ell_u.bucket_meta[j][0] == o]
+            if idx:
+                spans = tuple((ell_u.bucket_meta[j][1], ell_u.bucket_meta[j][2])
+                              for j in idx)
+                ll, se, sp = ell_llk_parts(Theta_loc, buf,
+                                           [buckets[j] for j in idx],
+                                           spans, full_llk, dep=dep)
+                dep = ll[-1]
+                ll_p += ll; se_p += se; sp_p += sp
+            if o < ndev - 1:
+                buf = jax.lax.ppermute(buf, DATA_AXIS, perm)
+        out = jnp.stack([jnp.stack(ll_p), jnp.stack(se_p), jnp.stack(sp_p)])
+        return jax.lax.psum(out, DATA_AXIS)
+
+    bucket_specs = []
+    for _ in range(nb):
+        bucket_specs += [P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+                         P(DATA_AXIS, None, None)]
+    sharded = jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), *bucket_specs),
+        out_specs=P(),
+        check_vma=False,
+    ))
+
+    def _put(a, spec):
+        return jax.device_put(np.asarray(a), NamedSharding(mesh, spec))
+
+    flat = []
+    for b in ell_u.buckets:
+        flat += [_put(b.rows, P(DATA_AXIS, None)),
+                 _put(b.cols, P(DATA_AXIS, None, None)),
+                 _put(b.vals, P(DATA_AXIS, None, None))]
+
+    def sums_fn(Theta, Beta):
+        out = sharded(Theta, Beta, *flat)
+        return out[0], out[1], out[2]
+
+    return sums_fn
