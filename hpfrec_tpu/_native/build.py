@@ -37,14 +37,11 @@ def _cache_dir() -> str:
 
 
 def build_native(verbose: bool = False) -> str:
-    """Compile csr_ops.cpp to a shared library (cached by source hash).
-    Returns the .so path; raises on failure."""
+    """Compile csr_ops.cpp to a shared library, cached by a key covering
+    the source bytes AND the toolchain configuration (CXX, resolved probe
+    flags, CFLAGS) — changing compiler or flags must not reuse a stale
+    binary.  Returns the .so path; raises on failure."""
     cxx = os.environ.get("CXX", "g++")
-    with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
-    out = os.path.join(_cache_dir(), f"csr_ops_{tag}.so")
-    if os.path.exists(out):
-        return out
 
     flags = ["-O3", "-shared", "-fPIC", "-std=c++17"]
     if "DONT_SET_MARCH" not in os.environ and _probe_flag(cxx, "-march=native"):
@@ -60,6 +57,16 @@ def build_native(verbose: bool = False) -> str:
     if omp:
         flags.append(omp)
     extra = os.environ.get("CFLAGS", "").split()
+
+    h = hashlib.sha256()
+    with open(_SRC, "rb") as f:
+        h.update(f.read())
+    h.update("\0".join([cxx, *flags, *extra]).encode())
+    tag = h.hexdigest()[:16]
+    out = os.path.join(_cache_dir(), f"csr_ops_{tag}.so")
+    if os.path.exists(out):
+        return out
+
     cmd = [cxx, *flags, *extra, "-o", out + ".tmp", _SRC]
     if verbose:
         print("building native:", " ".join(cmd))
