@@ -988,10 +988,17 @@ class HPF:
             perm_p = np.empty(NP, dtype=np.int32)
             perm_p[:n_rows] = perm_real
             perm_p[n_rows:] = perm_real[-1]
-            batch_nnz = np.add.reduceat(deg[perm_real],
-                                        np.arange(0, n_rows, batch_rows))
-            p_cap = data_utils._next_pow2(max(int(batch_nnz.max()), 1024))
-            # sharded phi sums split the batch buffer evenly over the mesh
+            # Chunk capacity sized by the MEAN batch load, not the epoch
+            # max: svi_run_batches accumulates a batch's phi sums over
+            # ceil(nnz_b/p_cap) windows, so one degree-hot batch pays
+            # extra chunks for itself instead of inflating every batch's
+            # padding — and the mean is shuffle-invariant, so all epochs
+            # share one compiled program (the old pow2(max) recompiled
+            # whenever a shuffle crossed a power of two).
+            mean_nnz = max(int(deg.sum()) // nbatches, 1)
+            div = max(int(os.environ.get("HPFREC_TPU_SVI_CHUNK_DIV", "2")), 1)
+            p_cap = data_utils._next_pow2(max(mean_nnz // div, 1024))
+            # sharded phi sums split the chunk buffer evenly over the mesh
             p_cap = ((p_cap + n_mesh - 1) // n_mesh) * n_mesh
             sizes = np.full(nbatches, batch_rows, dtype=np.float64)
             sizes[-1] = n_rows - (nbatches - 1) * batch_rows

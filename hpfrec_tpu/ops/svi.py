@@ -214,13 +214,24 @@ def svi_run_batches(
 ) -> VariationalState:
     """Run ``nb_run`` consecutive SVI mini-batches in ONE dispatch.
 
-    Each iteration of the ``fori_loop`` slices a fixed-size (``p_cap``)
-    window of the epoch stream at the batch's dynamic offset, masks the
-    tail (y=0 rows are inert in the phi sums), rebuilds the touched-row
-    masks on device, and applies the reference's blended update
-    (``cython_loops.pxi:277-377``).  The whole epoch therefore costs one
-    host->device transfer of the permutation instead of per-batch host
-    gathers.
+    Each iteration of the outer ``fori_loop`` accumulates one batch's phi
+    segment sums over ``ceil(nnz_b / p_cap)`` fixed-size windows of the
+    epoch stream (an inner ``fori_loop`` with a data-dependent trip
+    count), masks window tails (y=0 rows are inert in the phi sums),
+    rebuilds the touched-row masks on device, and applies the reference's
+    blended update (``cython_loops.pxi:277-377``).  The whole epoch
+    therefore costs one host->device transfer of the permutation instead
+    of per-batch host gathers.
+
+    ``p_cap`` is a CHUNK capacity, not a batch bound: the caller sizes it
+    near the mean batch load, so one degree-hot batch (power-law data)
+    pays extra chunks for itself instead of setting the padded capacity
+    of every batch in the epoch, and — because the mean is
+    shuffle-invariant — every epoch reuses one compiled program.  With the
+    mesh-parallel ``phi_sums_fn`` each chunk psums its partial tables
+    (comm scales with a batch's chunk count); the single-device path
+    scatters chunks straight into the carried sums, so per-chunk cost
+    stays O(p_cap * k).
     """
     n_users = state.G_shp.shape[0]
     n_items = state.L_shp.shape[0]
@@ -232,20 +243,42 @@ def svi_run_batches(
         rows_b = jax.lax.dynamic_slice(perm, (r0,), (batch_rows,))
         start = offsets[r0]
         nnz_b = offsets[r0 + batch_rows] - start
-        yb = jax.lax.dynamic_slice(e_y, (start,), (p_cap,))
-        rb = jax.lax.dynamic_slice(e_row, (start,), (p_cap,))
-        cb = jax.lax.dynamic_slice(e_col, (start,), (p_cap,))
-        vmask = jnp.arange(p_cap, dtype=jnp.int32) < nnz_b
-        yb = jnp.where(vmask, yb, 0)
-        # touched-other-side mask: route pad slots to the batch's first
-        # real index (duplicate set-True scatters are harmless); an empty
-        # batch touches nothing.
-        cb_safe = jnp.where(vmask, cb, cb[0])
+        t_tab = exp_elog_tables(st.G_shp, st.G_rte)
+        b_tab = exp_elog_tables(st.L_shp, st.L_rte)
+        nch = (nnz_b + (p_cap - 1)) // p_cap
+
+        def chunk(c, carry):
+            su, si, omask = carry
+            s = start + c * p_cap
+            yb = jax.lax.dynamic_slice(e_y, (s,), (p_cap,))
+            rb = jax.lax.dynamic_slice(e_row, (s,), (p_cap,))
+            cb = jax.lax.dynamic_slice(e_col, (s,), (p_cap,))
+            vmask = jnp.arange(p_cap, dtype=jnp.int32) < (nnz_b - c * p_cap)
+            yb = jnp.where(vmask, yb, 0)
+            # route pad slots to the chunk's first real index (duplicate
+            # set-True scatters and phi=0 adds are harmless); the loop
+            # bound guarantees every chunk has at least one real entry
+            cb = jnp.where(vmask, cb, cb[0])
+            iu, ii = (rb, cb) if user_side else (cb, rb)
+            if phi_sums_fn is None:
+                phi = _phi_block(t_tab, b_tab, yb, iu, ii)
+                su = su.at[iu].add(phi, mode="promise_in_bounds")
+                si = si.at[ii].add(phi, mode="promise_in_bounds")
+            else:
+                su_c, si_c = phi_sums_fn(t_tab, b_tab, yb, iu, ii)
+                su = su + su_c
+                si = si + si_c
+            omask = omask.at[cb].set(True, mode="promise_in_bounds")
+            return su, si, omask
+
+        su, si, omask = jax.lax.fori_loop(
+            0, nch, chunk,
+            (jnp.zeros_like(t_tab), jnp.zeros_like(b_tab),
+             jnp.zeros((n_other, 1), dtype=bool)))
+        su = su.astype(st.G_shp.dtype)
+        si = si.astype(st.L_shp.dtype)
         lmask = build_row_mask(n_local, rows_b)
-        omask = build_row_mask(n_other, cb_safe) & (nnz_b > 0)
-        iu, ii = (rb, cb) if user_side else (cb, rb)
         umask, imask = (lmask, omask) if user_side else (omask, lmask)
-        su, si = _batch_phi_sums(st, yb, iu, ii, phi_sums_fn)
         return _svi_update_math(
             st, su, si, umask, imask, step, mults[b], hp, user_side, False
         )

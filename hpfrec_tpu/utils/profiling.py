@@ -63,6 +63,15 @@ def maybe_trace(profile_dir):
 
 @dataclass
 class FitStats:
+    """End-to-end fit statistics (the ``HPF.fit_stats_`` attribute).
+
+    ``wall_seconds`` spans the whole optimization call, INCLUDING jit
+    compiles, warm-up dispatches, and convergence evaluations, so
+    ``nnz_per_second`` is an end-to-end figure — a lower bound on the
+    steady-state device throughput, not a kernel benchmark.  For the
+    clean per-iteration device number use the differential-timing method
+    of ``bench.py`` (PERFORMANCE.md "Measurement methodology")."""
+
     nnz: int = 0
     iterations: int = 0
     wall_seconds: float = 0.0

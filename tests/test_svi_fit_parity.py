@@ -61,9 +61,10 @@ def _run_oracle_svi(oracle, y, iu, ii, nU, nI, users_per_batch, items_per_batch,
     return oracle
 
 
-def _parity(users_per_batch, items_per_batch, host_batches=False, mesh=None):
-    nU, nI, k, seed = 40, 30, 5, 77
-    y, iu, ii = synth_counts(nU, nI, nnz=600, seed=4, dtype=np.float64)
+def _parity(users_per_batch, items_per_batch, host_batches=False, mesh=None,
+            nU=40, nI=30, nnz=600):
+    k, seed = 5, 77
+    y, iu, ii = synth_counts(nU, nI, nnz=nnz, seed=4, dtype=np.float64)
     df = pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
 
     from hpfrec_tpu import HPF
@@ -115,3 +116,18 @@ def test_alternating_epochs_parity_sharded():
     from hpfrec_tpu.parallel import make_mesh
 
     _parity(13, 11, mesh=make_mesh())
+
+
+def test_multichunk_batches_parity():
+    """Batches larger than the chunk capacity (p_cap floor 1024) must
+    accumulate their phi sums over several windows and still match the
+    oracle exactly — the degree-hot-batch path of svi_run_batches."""
+    _parity(50, None, nU=60, nI=40, nnz=6000)
+
+
+def test_multichunk_batches_parity_sharded():
+    """Multi-chunk accumulation composed with the mesh-parallel phi sums
+    (per-chunk psum)."""
+    from hpfrec_tpu.parallel import make_mesh
+
+    _parity(50, 35, nU=60, nI=40, nnz=6000, mesh=make_mesh())
