@@ -139,6 +139,31 @@ def ell_fill(seg_start: np.ndarray, seg_len: np.ndarray, indices: np.ndarray,
        _ptr(out_cols, ctypes.c_int32), _ptr(out_vals, vt))
 
 
+def sort_csr_cols(indptr: np.ndarray, indices: np.ndarray,
+                  data: np.ndarray) -> None:
+    """IN-PLACE stable per-row sort of CSR (indices, data) by column id.
+
+    ``indices`` must be contiguous int32 and ``data`` contiguous f32/f64;
+    callers own the copy-before-mutate decision.  Parallel over rows;
+    already-sorted rows are detected and skipped, so calling on sorted
+    input is O(nnz) scan only.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native unavailable: {_load_error}")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    assert indices.dtype == np.int32 and indices.flags.c_contiguous
+    assert data.flags.c_contiguous and indices.shape == data.shape
+    nrows = indptr.shape[0] - 1
+    if data.dtype == np.float64:
+        fn, vt = lib.sort_csr_cols_f64, ctypes.c_double
+    else:
+        assert data.dtype == np.float32
+        fn, vt = lib.sort_csr_cols_f32, ctypes.c_float
+    fn(_ptr(indptr, ctypes.c_int64), ctypes.c_int64(nrows),
+       _ptr(indices, ctypes.c_int32), _ptr(data, vt))
+
+
 def factorize_i64(ids: np.ndarray):
     """First-occurrence-order integer factorize (pd.factorize semantics)."""
     lib = _load()

@@ -10,9 +10,12 @@
 //
 // Build: g++ -O3 -fopenmp -shared -fPIC (flags probed in build.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
+#include <utility>
+#include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -170,6 +173,65 @@ void ell_fill_f64(const int64_t* seg_start, const int64_t* seg_len,
                   const int32_t* indices, const double* data, int64_t nseg,
                   int64_t w, int32_t* out_cols, double* out_vals) {
     ell_fill_impl<double>(seg_start, seg_len, indices, data, nseg, w, out_cols, out_vals);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// In-place per-row sort of CSR entries by column id (stable, so duplicate
+// (row, col) entries keep their relative order like numpy's stable
+// argsort of the combined key).  The column-tiled ELL packing needs cols
+// sorted within rows; the counting-sort CSR builders preserve input
+// order, and the numpy fallback (full-key stable argsort) measured ~18 s
+// at 38.7M nonzeros.  Parallel over rows; already-sorted rows are
+// detected and skipped.
+// ---------------------------------------------------------------------
+template <typename T>
+static void sort_csr_cols_impl(const int64_t* indptr, int64_t nrows,
+                               int32_t* indices, T* data) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<std::pair<int32_t, T>> buf;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+        for (int64_t r = 0; r < nrows; ++r) {
+            const int64_t st = indptr[r], en = indptr[r + 1];
+            if (en - st <= 1) continue;
+            bool sorted = true;
+            for (int64_t j = st + 1; j < en; ++j) {
+                if (indices[j] < indices[j - 1]) { sorted = false; break; }
+            }
+            if (sorted) continue;
+            buf.resize((size_t)(en - st));
+            for (int64_t j = st; j < en; ++j) {
+                buf[(size_t)(j - st)] = {indices[j], data[j]};
+            }
+            std::stable_sort(buf.begin(), buf.end(),
+                             [](const std::pair<int32_t, T>& a,
+                                const std::pair<int32_t, T>& b) {
+                                 return a.first < b.first;
+                             });
+            for (int64_t j = st; j < en; ++j) {
+                indices[j] = buf[(size_t)(j - st)].first;
+                data[j] = buf[(size_t)(j - st)].second;
+            }
+        }
+    }
+}
+
+extern "C" {
+
+void sort_csr_cols_f32(const int64_t* indptr, int64_t nrows, int32_t* indices,
+                       float* data) {
+    sort_csr_cols_impl<float>(indptr, nrows, indices, data);
+}
+
+void sort_csr_cols_f64(const int64_t* indptr, int64_t nrows, int32_t* indices,
+                       double* data) {
+    sort_csr_cols_impl<double>(indptr, nrows, indices, data);
 }
 
 }  // extern "C"

@@ -175,14 +175,27 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         # the CSR builders do NOT guarantee (counting sort preserves input
         # order).  Unsorted rows fragment into per-nonzero runs — measured
         # at MillionSong scale: 24.5M segments / 20% bucket fill instead of
-        # ~1M / 86% — so sort here (stable argsort of the combined
-        # (row, col) key; one-time host cost amortized over the fit).
+        # ~1M / 86% — so sort here (one-time host cost amortized over the
+        # fit).  The native per-row parallel sort replaces the full-key
+        # stable argsort, which measured ~18 s at 38.7M nonzeros.
         row_of = np.repeat(np.arange(n_rows, dtype=np.int64), deg)
         key_rc = row_of * np.int64(n_cols) + indices.astype(np.int64)
         if nnz and np.any(np.diff(key_rc) < 0):
-            order = np.argsort(key_rc, kind="stable")
-            indices = indices[order]
-            data = data[order]
+            if (indices.dtype == np.int32
+                    and data.dtype in (np.float32, np.float64)):
+                try:
+                    from .._native import sort_csr_cols
+
+                    # copy: sort is in place, callers keep their order
+                    indices = np.ascontiguousarray(indices).copy()
+                    data = np.ascontiguousarray(data).copy()
+                    sort_csr_cols(indptr, indices, data)
+                except Exception:
+                    order = np.argsort(key_rc, kind="stable")
+                    indices, data = indices[order], data[order]
+            else:
+                order = np.argsort(key_rc, kind="stable")
+                indices, data = indices[order], data[order]
         chunk_of = indices.astype(np.int64) // col_chunk_rows
         key = row_of * ((n_cols // col_chunk_rows) + 1) + chunk_of
         boundaries = np.flatnonzero(np.diff(key) != 0) + 1

@@ -61,6 +61,34 @@ def test_gather_rows():
     np.testing.assert_allclose(y, np.concatenate(exp_y))
 
 
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_sort_csr_cols_matches_argsort(dtype):
+    """In-place per-row sort == the stable full-key argsort it replaces,
+    including duplicate (row, col) entries keeping input order."""
+    rng = np.random.default_rng(4)
+    nU, nI, nnz = 200, 150, 4000
+    rows = np.sort(rng.integers(0, nU, nnz)).astype(np.int32)
+    cols = rng.integers(0, nI, nnz).astype(np.int32)
+    cols[50:70] = cols[49]  # duplicates inside a row
+    vals = rng.random(nnz).astype(dtype)
+    indptr, indices, data = native.coo_to_csr(rows, cols, vals, nU)
+
+    row_of = np.repeat(np.arange(nU, dtype=np.int64), np.diff(indptr))
+    key = row_of * np.int64(nI) + indices.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    exp_idx, exp_dat = indices[order], data[order]
+
+    got_idx, got_dat = indices.copy(), data.copy()
+    native.sort_csr_cols(indptr, got_idx, got_dat)
+    np.testing.assert_array_equal(got_idx, exp_idx)
+    np.testing.assert_array_equal(got_dat, exp_dat)
+
+    # idempotent (sorted-row fast path)
+    native.sort_csr_cols(indptr, got_idx, got_dat)
+    np.testing.assert_array_equal(got_idx, exp_idx)
+    np.testing.assert_array_equal(got_dat, exp_dat)
+
+
 def test_factorize_matches_pandas():
     import pandas as pd
 
