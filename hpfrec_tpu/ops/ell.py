@@ -179,21 +179,25 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         # fit).  The native per-row parallel sort replaces the full-key
         # stable argsort, which measured ~18 s at 38.7M nonzeros.
         row_of = np.repeat(np.arange(n_rows, dtype=np.int64), deg)
-        key_rc = row_of * np.int64(n_cols) + indices.astype(np.int64)
-        if nnz and np.any(np.diff(key_rc) < 0):
-            if (indices.dtype == np.int32
-                    and data.dtype in (np.float32, np.float64)):
-                try:
-                    from .._native import sort_csr_cols
+        sorted_done = False
+        if (nnz and indices.dtype == np.int32
+                and data.dtype in (np.float32, np.float64)):
+            try:
+                from .._native import sort_csr_cols
 
-                    # copy: sort is in place, callers keep their order
-                    indices = np.ascontiguousarray(indices).copy()
-                    data = np.ascontiguousarray(data).copy()
-                    sort_csr_cols(indptr, indices, data)
-                except Exception:
-                    order = np.argsort(key_rc, kind="stable")
-                    indices, data = indices[order], data[order]
-            else:
+                # copy: sort is in place, callers keep their order.  Called
+                # unconditionally — the kernel's per-row sorted check is a
+                # 0.1 s scan at 38.7M nnz, vs 3.4 s (and two 310 MB temps)
+                # for the numpy combined-key check it replaces.
+                indices = np.ascontiguousarray(indices).copy()
+                data = np.ascontiguousarray(data).copy()
+                sort_csr_cols(indptr, indices, data)
+                sorted_done = True
+            except Exception:
+                pass
+        if nnz and not sorted_done:
+            key_rc = row_of * np.int64(n_cols) + indices.astype(np.int64)
+            if np.any(np.diff(key_rc) < 0):
                 order = np.argsort(key_rc, kind="stable")
                 indices, data = indices[order], data[order]
         chunk_of = indices.astype(np.int64) // col_chunk_rows

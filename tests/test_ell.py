@@ -2,6 +2,7 @@
 equivalence with the scatter engine."""
 
 import numpy as np
+import pytest
 
 from oracle import synth_counts
 
@@ -226,6 +227,40 @@ def test_col_tiled_matches_untiled():
         out = np.asarray(ell_phi_sums(t_tab, b_tab, device_ell(tiled)))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5,
                                    err_msg=f"chunk={chunk}")
+
+
+def test_build_ell_native_sort_matches_numpy_fallback(monkeypatch):
+    """The native in-row sort path and the numpy argsort fallback must
+    produce byte-identical tiled layouts (same buckets, same positions),
+    including duplicate (row, col) entries."""
+    pytest.importorskip("hpfrec_tpu._native")
+    from hpfrec_tpu import _native
+    from hpfrec_tpu.ops.ell import build_ell
+
+    if not _native.available():
+        pytest.skip("native toolchain unavailable")
+
+    y, iu, ii = synth_counts(150, 90, nnz=2500, seed=3)
+    ii[40:60] = ii[39]  # duplicates inside rows
+    indptr, indices, data = _csr(y, iu, ii, 150)
+
+    nat = build_ell(indptr, indices, data, 150, col_chunk_rows=17, n_cols=90)
+
+    def boom(*a, **kw):
+        raise RuntimeError("forced fallback")
+
+    monkeypatch.setattr(_native, "sort_csr_cols", boom)
+    fb = build_ell(indptr, indices, data, 150, col_chunk_rows=17, n_cols=90)
+
+    assert len(nat.buckets) == len(fb.buckets)
+    for bn, bf in zip(nat.buckets, fb.buckets):
+        np.testing.assert_array_equal(bn.rows, bf.rows)
+        np.testing.assert_array_equal(bn.cols, bf.cols)
+        np.testing.assert_array_equal(bn.vals, bf.vals)
+    np.testing.assert_array_equal(nat.inv_perm, fb.inv_perm)
+    np.testing.assert_array_equal(nat.split_rows, fb.split_rows)
+    np.testing.assert_array_equal(nat.split_seg_pos, fb.split_seg_pos)
+    assert nat.col_spans == fb.col_spans
 
 
 def test_col_tiled_cavi_step_matches():
