@@ -72,7 +72,39 @@ def main():
     hp = Hyperparams(k=k)
     y, iu, ii = synth_powerlaw(nU, nI, nnz)
 
-    if engine in ("auto", "ell"):
+    if engine == "table":
+        # the model-parallel engine on a mesh over the available devices
+        # (on the single bench chip the ppermute ring degenerates, so this
+        # measures the per-device compute path — sub-tiled fast-window
+        # gathers + masked updates — not ICI exchange)
+        from hpfrec_tpu.ops.ell import gather_table_dtype
+        from hpfrec_tpu.parallel import make_mesh
+        from hpfrec_tpu.parallel.table_sharded import (
+            build_sharded_ell, make_table_sharded_step, pad_state,
+            plan_table_sharding)
+        from hpfrec_tpu.utils.data import build_csr
+
+        mesh = make_mesh()
+        ndev = len(mesh.devices.ravel())
+        gd = gather_table_dtype(max(nU, nI), k,
+                                mode=os.environ.get("BENCH_GATHER_DTYPE", "auto"))
+        g_item = 2 if gd is not None else 4
+        plan_u = plan_table_sharding(nU, k, ndev, g_item)
+        plan_i = plan_table_sharding(nI, k, ndev, g_item)
+        nU_p, nI_p = plan_u[0], plan_i[0]
+        indptr_u, ind_u, dat_u = build_csr(iu, ii, y, nU, nI)
+        indptr_i, ind_i, dat_i = build_csr(ii, iu, y, nI, nU)
+        ip_u = np.concatenate([indptr_u, np.full(nU_p - nU, indptr_u[-1])])
+        ip_i = np.concatenate([indptr_i, np.full(nI_p - nI, indptr_i[-1])])
+        se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, ndev,
+                                 opp_plan=(plan_i[0], plan_i[2], plan_i[3]))
+        se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, ndev,
+                                 opp_plan=(plan_u[0], plan_u[2], plan_u[3]))
+        ts_run = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI,
+                                         gather_dtype=gd)
+        runner = lambda st, n: ts_run(  # noqa: E731
+            pad_state(st, nU_p, nI_p) if st.G_shp.shape[0] != nU_p else st, n)
+    elif engine in ("auto", "ell"):
         from hpfrec_tpu.ops.ell import (build_ell, device_ell, gather_table_dtype,
                                         plan_col_tiling, run_cavi_block_ell)
         from hpfrec_tpu.utils.data import build_csr
