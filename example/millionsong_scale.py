@@ -5,7 +5,7 @@ Reproduces the shape of the reference's EchoNest notebook workload
 1,019,318 users x 376,768 items, k=50) on synthetic Zipf-distributed
 counts, since the real dataset cannot be downloaded here.  The reference
 records 110 iterations in 38.3 minutes on a 24-core Skylake; one v5e
-chip runs ~0.22 s/iteration (~25 s of device time for the same 110).
+chip runs ~0.6 s/iteration (~70 s of device time for the same 110).
 
 At this scale the engine automatically enables:
   - bfloat16 gather tables (the float32 user table is 204 MB, far past
