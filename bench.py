@@ -58,6 +58,9 @@ def main():
     k = int(os.environ.get("BENCH_K", cfg["k"]))
     iters = int(os.environ.get("BENCH_ITERS", cfg["iters"]))
     engine = os.environ.get("BENCH_ENGINE", "auto")
+    if engine not in ("auto", "ell", "table", "coo"):
+        raise SystemExit("BENCH_ENGINE must be one of auto|ell|table|coo, "
+                         "got %r" % engine)
 
     import jax
     import jax.numpy as jnp

@@ -127,7 +127,8 @@ def ell_fill(seg_start: np.ndarray, seg_len: np.ndarray, indices: np.ndarray,
     seg_len = np.ascontiguousarray(seg_len, dtype=np.int64)
     indices = np.ascontiguousarray(indices, dtype=np.int32)
     nseg, w = out_cols.shape
-    assert out_cols.flags.c_contiguous and out_vals.flags.c_contiguous
+    if not (out_cols.flags.c_contiguous and out_vals.flags.c_contiguous):
+        raise TypeError("ell_fill: output buffers must be C-contiguous")
     if data.dtype == np.float64:
         fn, vt = lib.ell_fill_f64, ctypes.c_double
     else:
@@ -152,14 +153,21 @@ def sort_csr_cols(indptr: np.ndarray, indices: np.ndarray,
     if lib is None:
         raise RuntimeError(f"native unavailable: {_load_error}")
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
-    assert indices.dtype == np.int32 and indices.flags.c_contiguous
-    assert data.flags.c_contiguous and indices.shape == data.shape
+    # explicit checks (not assert): under ``python -O`` asserts are
+    # stripped and a wrong-dtype/non-contiguous array would hand garbage
+    # pointers to the in-place native kernel (silent memory corruption)
+    if indices.dtype != np.int32 or not indices.flags.c_contiguous:
+        raise TypeError("sort_csr_cols: 'indices' must be contiguous int32")
+    if not data.flags.c_contiguous or indices.shape != data.shape:
+        raise TypeError("sort_csr_cols: 'data' must be contiguous and match "
+                        "'indices' in shape")
     nrows = indptr.shape[0] - 1
     if data.dtype == np.float64:
         fn, vt = lib.sort_csr_cols_f64, ctypes.c_double
-    else:
-        assert data.dtype == np.float32
+    elif data.dtype == np.float32:
         fn, vt = lib.sort_csr_cols_f32, ctypes.c_float
+    else:
+        raise TypeError("sort_csr_cols: 'data' must be float32 or float64")
     fn(_ptr(indptr, ctypes.c_int64), ctypes.c_int64(nrows),
        _ptr(indices, ctypes.c_int32), _ptr(data, vt))
 

@@ -661,12 +661,28 @@ class HPF:
         if iters_done % self.checkpoint_every == 0:
             from ..utils import io as io_utils
 
+            # table-sharded runs train on a padded state; checkpoints store
+            # the real-row slice so resume (which re-pads after loading) and
+            # shape validation see the data's true shape regardless of the
+            # engine/mesh the run used
+            state = self._slice_state_real(state)
             extra = {}
             if last_crit is not None:
                 extra["last_crit"] = float(last_crit)
             io_utils.save_checkpoint(self.checkpoint_folder, state, iters_done,
                                      rng=rng, extra=extra,
                                      extra_arrays=extra_arrays)
+
+    def _slice_state_real(self, state):
+        """Strip table-shard padding rows (no-op when the state is unpadded)."""
+        if getattr(self, "_table_shard_pad", None) is None:
+            return state
+        if state.G_shp.shape[0] == self.nusers:
+            return state
+        return VariationalState(
+            G_shp=state.G_shp[:self.nusers], G_rte=state.G_rte[:self.nusers],
+            L_shp=state.L_shp[:self.nitems], L_rte=state.L_rte[:self.nitems],
+            k_rte=state.k_rte[:self.nusers], t_rte=state.t_rte[:self.nitems])
 
     def _make_runner(self, pdata, hp, mesh):
         """Build the jitted multi-iteration runner for full-batch fit.

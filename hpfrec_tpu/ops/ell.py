@@ -193,8 +193,14 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
                 data = np.ascontiguousarray(data).copy()
                 sort_csr_cols(indptr, indices, data)
                 sorted_done = True
-            except Exception:
-                pass
+            except Exception as e:
+                # a broken native build silently degrading to the ~18 s
+                # numpy argsort path would be undiagnosable — warn once
+                import warnings
+
+                warnings.warn(
+                    "native sort_csr_cols unavailable (%s); falling back to "
+                    "the slower numpy per-row sort for ELL packing" % (e,))
         if nnz and not sorted_done:
             key_rc = row_of * np.int64(n_cols) + indices.astype(np.int64)
             if np.any(np.diff(key_rc) < 0):

@@ -24,11 +24,24 @@ from typing import Optional
 from .mesh import make_mesh
 
 
+def _already_initialized(exc: Exception) -> bool:
+    return "already initialized" in str(exc).lower()
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None):
+               process_id: Optional[int] = None,
+               initialization_timeout: Optional[int] = None):
     """Initialize jax.distributed (no-op if already initialized or single
-    process) and return the global 1-D data mesh over all devices."""
+    process) and return the global 1-D data mesh over all devices.
+
+    A genuinely misconfigured multi-host job must FAIL here, not silently
+    degrade to a single-host mesh that trains on 1/Nth of the devices: when
+    explicit coordinator/process arguments are given, initialization errors
+    propagate and the resulting ``jax.process_count()`` is checked against
+    ``num_processes``.  Only the zero-argument autodetect path tolerates
+    failure (it is how single-process runs reach this helper), and it says
+    so at warning level."""
     import jax
 
     if num_processes is None and coordinator_address is None:
@@ -36,12 +49,36 @@ def initialize(coordinator_address: Optional[str] = None,
         # metadata server; elsewhere, a single process needs nothing.
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-process / already initialized
+        except Exception as e:
+            if not _already_initialized(e):
+                import warnings
+
+                warnings.warn(
+                    "jax.distributed autodetect did not initialize (%s); "
+                    "continuing single-process. Pass coordinator_address/"
+                    "num_processes/process_id explicitly for a multi-host "
+                    "job." % (e,))
     else:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        kwargs = {}
+        if initialization_timeout is not None:
+            kwargs["initialization_timeout"] = initialization_timeout
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                **kwargs,
+            )
+        except Exception as e:
+            if not _already_initialized(e):
+                raise RuntimeError(
+                    "jax.distributed.initialize failed for coordinator %r "
+                    "(num_processes=%s, process_id=%s): %s"
+                    % (coordinator_address, num_processes, process_id, e)
+                ) from e
+        if num_processes is not None and jax.process_count() != num_processes:
+            raise RuntimeError(
+                "jax.distributed came up with %d processes but %d were "
+                "requested — refusing to train on a partial mesh."
+                % (jax.process_count(), num_processes))
     return make_mesh(jax.devices())

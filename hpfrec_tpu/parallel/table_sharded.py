@@ -408,6 +408,8 @@ def make_table_sharded_metric(mesh, ell_u: ShardedEll, full_llk: bool):
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
 
     def local(Theta_loc, Beta_loc, *flat):
+        # strip the (length-1) leading device axis shard_map leaves in place
+        flat = tuple(a[0] for a in flat)
         buckets = [EllBucket(*flat[3 * i: 3 * i + 3]) for i in range(nb)]
         ll_p, se_p, sp_p = [], [], []
         buf = Beta_loc

@@ -59,6 +59,48 @@ def test_svi_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(m_b.Theta, m_full.Theta, rtol=1e-5)
 
 
+def test_table_sharded_checkpoint_resume(tmp_path):
+    """Regression (round-2 verdict): table-sharded fits train on a PADDED
+    state; checkpoints must store the real-row slice so resume validates
+    and continues.  The resumed run must match an uninterrupted one."""
+    import jax
+
+    from hpfrec_tpu import HPF
+    from hpfrec_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh()
+    # 83 x 45: deliberately not divisible by 8 so padding is exercised
+    df = _df(seed=7, nU=83, nI=45)
+    ck = str(tmp_path / "ck")
+
+    m_full = HPF(k=6, maxiter=20, check_every=5, stop_crit="maxiter",
+                 random_seed=44, verbose=False, mesh=mesh, shard_tables=True)
+    m_full.fit(df.copy())
+
+    m_a = HPF(k=6, maxiter=10, check_every=5, stop_crit="maxiter",
+              random_seed=44, verbose=False, mesh=mesh, shard_tables=True,
+              checkpoint_folder=ck, checkpoint_every=5)
+    m_a.fit(df.copy())
+    # the checkpoint on disk must already be real-shaped
+    from hpfrec_tpu.utils import io as io_utils
+
+    ck_state, _, _ = io_utils.load_checkpoint(ck)
+    assert ck_state.G_shp.shape == (m_a.nusers, 6)
+    assert ck_state.L_shp.shape == (m_a.nitems, 6)
+
+    m_b = HPF(k=6, maxiter=20, check_every=5, stop_crit="maxiter",
+              random_seed=44, verbose=False, mesh=mesh, shard_tables=True,
+              checkpoint_folder=ck, checkpoint_every=5)
+    m_b.fit(df.copy(), resume=True)
+
+    np.testing.assert_allclose(m_b.Theta, m_full.Theta, rtol=1e-5)
+    np.testing.assert_allclose(m_b.Beta, m_full.Beta, rtol=1e-5)
+
+
 def test_resume_without_checkpoint_raises(tmp_path):
     from hpfrec_tpu import HPF
 
