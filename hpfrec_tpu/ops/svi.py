@@ -117,7 +117,7 @@ def _svi_update_math(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hp", "user_side", "blend_all_scalers"),
+    static_argnames=("hp", "user_side", "blend_all_scalers", "phi_sums_fn"),
     donate_argnums=(0,),
 )
 def svi_batch_update(
@@ -132,15 +132,19 @@ def svi_batch_update(
     hp: Hyperparams,
     user_side: bool = True,
     blend_all_scalers: bool = False,
+    phi_sums_fn=None,  # mesh-parallel phi-sum override (static)
 ) -> VariationalState:
     """One SVI mini-batch update.
 
     ``user_side=True`` reproduces the user-epoch update (``pxi:275-325``;
     also ``partial_fit`` with ``batch_type='users'`` when
     ``blend_all_scalers=True``, ``pxi:442-473``); ``user_side=False`` the
-    item-epoch (``pxi:327-377``).
+    item-epoch (``pxi:327-377``).  ``phi_sums_fn`` (e.g.
+    ``parallel.engine.make_sharded_svi_phi_sums``) shards the batch's phi
+    segment sums over a mesh; the padded buffers must then divide evenly
+    by the mesh size.
     """
-    su, si = _batch_phi_sums(state, y, iu, ii)
+    su, si = _batch_phi_sums(state, y, iu, ii, phi_sums_fn=phi_sums_fn)
     return _svi_update_math(
         state, su, si, umask, imask, step, mult, hp, user_side, blend_all_scalers
     )
