@@ -74,6 +74,7 @@ def main():
 
     hp = Hyperparams(k=k)
     y, iu, ii = synth_powerlaw(nU, nI, nnz)
+    prep = lambda st: st  # noqa: E731 — engine-space transform (table mode)
 
     if engine == "table":
         # the model-parallel engine on a mesh over the available devices
@@ -83,8 +84,8 @@ def main():
         from hpfrec_tpu.ops.ell import gather_table_dtype
         from hpfrec_tpu.parallel import make_mesh
         from hpfrec_tpu.parallel.table_sharded import (
-            build_sharded_ell, make_table_sharded_step, pad_state,
-            plan_table_sharding)
+            make_table_sharded_step, pad_state, permute_state,
+            prepare_table_sharded)
         from hpfrec_tpu.utils.data import build_csr
 
         mesh = make_mesh()
@@ -92,21 +93,20 @@ def main():
         gd = gather_table_dtype(max(nU, nI), k,
                                 mode=os.environ.get("BENCH_GATHER_DTYPE", "auto"))
         g_item = 2 if gd is not None else 4
-        plan_u = plan_table_sharding(nU, k, ndev, g_item)
-        plan_i = plan_table_sharding(nI, k, ndev, g_item)
-        nU_p, nI_p = plan_u[0], plan_i[0]
         indptr_u, ind_u, dat_u = build_csr(iu, ii, y, nU, nI)
         indptr_i, ind_i, dat_i = build_csr(ii, iu, y, nI, nU)
-        ip_u = np.concatenate([indptr_u, np.full(nU_p - nU, indptr_u[-1])])
-        ip_i = np.concatenate([indptr_i, np.full(nI_p - nI, indptr_i[-1])])
-        se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, ndev,
-                                 opp_plan=(plan_i[0], plan_i[2], plan_i[3]))
-        se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, ndev,
-                                 opp_plan=(plan_u[0], plan_u[2], plan_u[3]))
-        ts_run = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI,
-                                         gather_dtype=gd)
-        runner = lambda st, n: ts_run(  # noqa: E731
-            pad_state(st, nU_p, nI_p) if st.G_shp.shape[0] != nU_p else st, n)
+        se_u, se_i, plan_u, plan_i, perm_u, perm_i = prepare_table_sharded(
+            indptr_u, ind_u, dat_u, indptr_i, ind_i, dat_i, nU, nI, k,
+            ndev, g_item)
+        nU_p, nI_p = plan_u[0], plan_i[0]
+        runner = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI,
+                                         gather_dtype=gd,
+                                         row_ids_u=perm_u, row_ids_i=perm_i)
+        # one-time move of a fresh state into the padded+permuted engine
+        # space (a shape test cannot detect the permuted space, so this is
+        # explicit rather than inferred per call)
+        prep = lambda st: permute_state(  # noqa: E731
+            pad_state(st, nU_p, nI_p), perm_u, perm_i)
     elif engine in ("auto", "ell"):
         from hpfrec_tpu.ops.ell import (build_ell, device_ell, gather_table_dtype,
                                         plan_col_tiling, run_cavi_block_ell)
@@ -145,7 +145,7 @@ def main():
     # HPF._capped_runner — keep the two in sync (bench times the raw
     # engine on purpose, without the model class in the loop).
     budget = float(os.environ.get("HPFREC_TPU_DISPATCH_BUDGET_S", "30"))
-    st = runner(initialize_state(nU, nI, hp, 123), jnp.asarray(2, jnp.int32))
+    st = runner(prep(initialize_state(nU, nI, hp, 123)), jnp.asarray(2, jnp.int32))
     float(jnp.sum(st.k_rte))  # compile + warm
     t0 = time.perf_counter()
     st = runner(st, jnp.asarray(1, jnp.int32))
@@ -154,7 +154,7 @@ def main():
     cap = max(1, int(budget / per_iter_est)) if budget > 0 else 10 ** 9
 
     def timed(n):
-        st = initialize_state(nU, nI, hp, 123)
+        st = prep(initialize_state(nU, nI, hp, 123))
         t0 = time.perf_counter()
         done = 0
         while done < n:

@@ -549,6 +549,7 @@ class HPF:
         self._metric_ell = None
         self._metric_sums_fn = None
         self._metric_pad = None
+        self._metric_perm = None
         if self.engine == "ell":
             data, nnz = None, int(pdata.y.shape[0])
         else:
@@ -567,6 +568,12 @@ class HPF:
 
         enable_compilation_cache()
         stats = FitStats(nnz=nnz).start()
+        # reset per-fit engine state (a previous full-batch table-sharded
+        # fit on this model must not leak its pad/permutation into an SVI
+        # fit's checkpoints)
+        self._table_shard_pad = None
+        self._table_shard_perm = None
+        self._table_shard_unperm = None
         with maybe_trace(self.profile_dir):
             if svi_mode:
                 state = self._run_svi(state, pdata, data, nnz, val_data, val_nnz, hp, mesh)
@@ -641,24 +648,34 @@ class HPF:
 
     def _ell_metric_eval(self, Theta, Beta, nnz):
         """Train llk/rmse on the ELL layout; uses the sharded shard_map twin
-        (``_metric_sums_fn``) when one was built.  Re-pads Theta/Beta with
-        zero rows (inert: bucket padding has vals == 0, and zero rows do not
-        move the colsum correction) for the table-sharded ring metric when
-        the final, already-sliced state is evaluated."""
+        (``_metric_sums_fn``) when one was built.  Re-pads (and, under the
+        degree-balanced layout, re-permutes) Theta/Beta with zero rows
+        (inert: bucket padding has vals == 0, and zero rows do not move the
+        colsum correction) for the table-sharded ring metric when the
+        final, already-sliced state is evaluated."""
         from ..ops import metrics as M
 
         if self._metric_pad is not None:
             import jax.numpy as jnp
 
             nU_p, nI_p = self._metric_pad
-            if Theta.shape[0] < nU_p:
-                Theta = jnp.concatenate(
-                    [Theta, jnp.zeros((nU_p - Theta.shape[0], Theta.shape[1]),
-                                      Theta.dtype)])
-            if Beta.shape[0] < nI_p:
-                Beta = jnp.concatenate(
-                    [Beta, jnp.zeros((nI_p - Beta.shape[0], Beta.shape[1]),
-                                     Beta.dtype)])
+
+            def repad(A, n_p, perm):
+                if A.shape[0] >= n_p:
+                    return A
+                Az = jnp.concatenate(
+                    [A, jnp.zeros((1, A.shape[1]), A.dtype)])
+                if perm is not None:
+                    # new slot p holds old row perm[p]; pad slots
+                    # (perm[p] >= n_real) hit the appended zero row
+                    return Az[jnp.minimum(jnp.asarray(perm), A.shape[0])]
+                return jnp.concatenate(
+                    [A, jnp.zeros((n_p - A.shape[0], A.shape[1]), A.dtype)])
+
+            pu, pi = self._metric_perm if self._metric_perm is not None \
+                else (None, None)
+            Theta = repad(Theta, nU_p, pu)
+            Beta = repad(Beta, nI_p, pi)
         return M.ell_train_llk_rmse(Theta, Beta, self._metric_ell, nnz,
                                     self.full_llk,
                                     sums_fn=self._metric_sums_fn)
@@ -694,15 +711,18 @@ class HPF:
                                      extra_arrays=extra_arrays)
 
     def _slice_state_real(self, state):
-        """Strip table-shard padding rows (no-op when the state is unpadded)."""
+        """Strip table-shard padding rows, undoing the degree-balanced row
+        permutation (no-op when no table-sharded runner is active).  NOTE:
+        a shape check cannot stand in for this — one side can be padding-
+        free (n divisible by the mesh) while the other is padded, and the
+        row permutation must be undone even with no padding at all."""
         if getattr(self, "_table_shard_pad", None) is None:
             return state
-        if state.G_shp.shape[0] == self.nusers:
-            return state
+        iu, ii = self._table_shard_unperm  # positions of real rows 0..n-1
         return VariationalState(
-            G_shp=state.G_shp[:self.nusers], G_rte=state.G_rte[:self.nusers],
-            L_shp=state.L_shp[:self.nitems], L_rte=state.L_rte[:self.nitems],
-            k_rte=state.k_rte[:self.nusers], t_rte=state.t_rte[:self.nitems])
+            G_shp=state.G_shp[iu], G_rte=state.G_rte[iu],
+            L_shp=state.L_shp[ii], L_rte=state.L_rte[ii],
+            k_rte=state.k_rte[iu], t_rte=state.t_rte[ii])
 
     def _make_runner(self, pdata, hp, mesh):
         """Build the jitted multi-iteration runner for full-batch fit.
@@ -721,42 +741,48 @@ class HPF:
             # around a ppermute ring in fast-window sub-tiles (optionally
             # bfloat16); see parallel/table_sharded.py
             from ..ops.ell import gather_table_dtype
-            from ..parallel.table_sharded import (build_sharded_ell,
+            from ..parallel.table_sharded import (make_table_sharded_metric,
                                                   make_table_sharded_step,
-                                                  plan_table_sharding)
+                                                  prepare_table_sharded)
 
             gd = None
             if self.gather_dtype == "bfloat16" or self.use_float:
                 gd = gather_table_dtype(max(self.nusers, self.nitems), self.k,
                                         mode=self.gather_dtype)
             g_item = 2 if gd is not None else np.dtype(self._dtype).itemsize
-            plan_u = plan_table_sharding(self.nusers, self.k, n_dev, g_item)
-            plan_i = plan_table_sharding(self.nitems, self.k, n_dev, g_item)
-            nU_p, nI_p = plan_u[0], plan_i[0]
             indptr_u, ind_u, dat_u = data_utils.build_csr(
                 pdata.ix_u, pdata.ix_i, pdata.y, self.nusers, self.nitems)
             indptr_i, ind_i, dat_i = data_utils.build_csr(
                 pdata.ix_i, pdata.ix_u, pdata.y, self.nitems, self.nusers)
-            ip_u = np.concatenate([indptr_u, np.full(nU_p - self.nusers, indptr_u[-1])])
-            ip_i = np.concatenate([indptr_i, np.full(nI_p - self.nitems, indptr_i[-1])])
-            se_u = build_sharded_ell(ip_u, ind_u, dat_u, nU_p, n_dev,
-                                     opp_plan=(plan_i[0], plan_i[2], plan_i[3]),
-                                     dtype=self._dtype)
-            se_i = build_sharded_ell(ip_i, ind_i, dat_i, nI_p, n_dev,
-                                     opp_plan=(plan_u[0], plan_u[2], plan_u[3]),
-                                     dtype=self._dtype)
+            se_u, se_i, plan_u, plan_i, perm_u, perm_i = prepare_table_sharded(
+                indptr_u, ind_u, dat_u, indptr_i, ind_i, dat_i,
+                self.nusers, self.nitems, self.k, n_dev, g_item,
+                dtype=self._dtype)
+            nU_p, nI_p = plan_u[0], plan_i[0]
             self._table_shard_pad = (nU_p, nI_p)
+            # the degree-balanced row snake reorders table rows; remember
+            # the permutation (state rows are permuted in by
+            # _run_full_batch and inverse-permuted out) and where the real
+            # rows ended up
+            self._table_shard_perm = (perm_u, perm_i)
+            inv_u = np.empty(nU_p, dtype=np.int64)
+            inv_u[perm_u] = np.arange(nU_p)
+            inv_i = np.empty(nI_p, dtype=np.int64)
+            inv_i[perm_i] = np.arange(nI_p)
+            self._table_shard_unperm = (inv_u[:self.nusers],
+                                        inv_i[:self.nitems])
             # train-metric checks ride the same ppermute ring instead of
-            # falling back to the blocked-COO path; _metric_pad re-pads
-            # Theta/Beta when the final (sliced) state is evaluated
-            from ..parallel.table_sharded import make_table_sharded_metric
-
+            # falling back to the blocked-COO path; _metric_pad/_metric_perm
+            # re-pad (and re-permute) Theta/Beta when the final,
+            # already-sliced state is evaluated
             self._metric_sums_fn = make_table_sharded_metric(
                 mesh, se_u, self.full_llk)
             self._metric_pad = (nU_p, nI_p)
+            self._metric_perm = (perm_u, perm_i)
             return make_table_sharded_step(mesh, se_u, se_i, hp,
                                            self.nusers, self.nitems,
-                                           gather_dtype=gd)
+                                           gather_dtype=gd,
+                                           row_ids_u=perm_u, row_ids_i=perm_i)
 
         if self.engine == "ell":
             from ..ops.ell import (build_ell, device_ell, gather_table_dtype,
@@ -885,12 +911,16 @@ class HPF:
                         pdata=None):
         self._fit_data = data
         self._table_shard_pad = None
+        self._table_shard_perm = None
+        self._table_shard_unperm = None
         self._iters_per_dispatch = None
         runner = self._capped_runner(self._make_runner(pdata, hp, mesh))
         if self._table_shard_pad is not None:
-            from ..parallel.table_sharded import pad_state
+            from ..parallel.table_sharded import pad_state, permute_state
 
             state = pad_state(state, *self._table_shard_pad)
+            if self._table_shard_perm is not None:
+                state = permute_state(state, *self._table_shard_perm)
         self._last_llk = 0.0
         self._last_rmse = 0.0
         self._last_check_it = None
@@ -916,13 +946,7 @@ class HPF:
             if stop:
                 break
         self.niter = iters_done - 1
-        if self._table_shard_pad is not None:
-            from .state import VariationalState
-
-            state = VariationalState(
-                G_shp=state.G_shp[:self.nusers], G_rte=state.G_rte[:self.nusers],
-                L_shp=state.L_shp[:self.nitems], L_rte=state.L_rte[:self.nitems],
-                k_rte=state.k_rte[:self.nusers], t_rte=state.t_rte[:self.nitems])
+        state = self._slice_state_real(state)
         return state
 
     def _run_svi(self, state, pdata, data, nnz, val_data, val_nnz, hp, mesh):
