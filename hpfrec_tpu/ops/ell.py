@@ -131,6 +131,29 @@ def plan_col_tiling(n_opposite_rows: int, k: int, gather_itemsize: int = 4
     return max(1, FAST_GATHER_BYTES // (k * gather_itemsize))
 
 
+_LADDER_FRACS = {
+    "half": (1.0, 0.75),               # round-1/2 ladder (pow2 + 3/4)
+    "quarter": (1.0, 7 / 8, 0.75, 5 / 8),
+    "eighth": tuple(x / 16 for x in range(9, 17)),
+}
+_ladder_cache = {}
+
+
+def _width_ladder() -> np.ndarray:
+    """Sorted rung widths for degree bucketing (see the fill table at the
+    bucketing step in :func:`build_ell`).  Env-tunable:
+    ``HPFREC_TPU_ELL_LADDER`` = half | quarter (default) | eighth."""
+    import os
+
+    name = os.environ.get("HPFREC_TPU_ELL_LADDER", "quarter")
+    if name not in _ladder_cache:
+        fracs = _LADDER_FRACS.get(name, _LADDER_FRACS["quarter"])
+        rungs = {int(np.ceil((1 << e) * f))
+                 for e in range(0, 15) for f in fracs}
+        _ladder_cache[name] = np.array(sorted(rungs), dtype=np.int64)
+    return _ladder_cache[name]
+
+
 def _ragged_fill(seg_start, seg_len, indices, data, cols, vals, dtype):
     """Fill pre-zeroed (m, w) cols/vals from CSR runs (native or numpy)."""
     try:
@@ -246,29 +269,39 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     first_seg = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(nseg_per_row, out=first_seg[1:])
 
-    # bucket by (chunk, width >= min_width) on a dense ladder: powers of two
-    # plus the 3/4 intermediates (8, 12, 16, 24, 32, ...).  The engine is
-    # gather-slot bound, so padded slots are pure waste; pow2-only buckets
-    # average ~75% fill while the 1.5x-step ladder reaches ~85-90% (w sits
-    # in the MIDDLE axis of the (m, w, k) compute, so no lane alignment is
-    # lost).  Bucket count roughly doubles; the unrolled per-bucket ops
-    # keep total slots the same, so compile cost grows only modestly.
-    pow2 = 1 << np.ceil(np.log2(np.maximum(seg_len, 1))).astype(np.int64)
-    three_q = (3 * pow2) // 4
-    width = np.maximum(min_width,
-                       np.where(seg_len <= three_q, three_q, pow2))
-    width = np.minimum(width, max_width)
+    # bucket by (chunk, width >= min_width) on a dense width ladder.  The
+    # engine is gather-slot bound, so padded slots are pure waste; w sits
+    # in the MIDDLE axis of the (m, w, k) compute, so odd widths lose no
+    # lane alignment.  Measured at the MillionSong shape (38.7M nnz, both
+    # sides): pow2-only rungs reach 70.5% fill, pow2 + the 3/4
+    # intermediates 83.9%, the quarter-octave ladder (x{1, 7/8, 3/4, 5/8},
+    # default) 90.5% at 53 distinct widths, eighth-octave 93.8% at 103.
+    # Denser rungs double the bucket count each step — compile time and
+    # per-op overhead grow — so the rung set is env-tunable
+    # (HPFREC_TPU_ELL_LADDER = half | quarter | eighth).
+    width = _width_ladder()[
+        np.searchsorted(_width_ladder(), np.maximum(seg_len, 1))]
+    width = np.minimum(np.maximum(width, min_width), max_width)
     tiled = col_chunk_rows is not None
     if tiled:
-        # merge small width-buckets within a chunk into the next width (at
-        # most 4x) to bound the op count of the unrolled compute
-        MERGE_SLOTS = 1 << 20
+        # merge small width-buckets within a chunk into the NEXT rung to
+        # bound the op count of the unrolled compute; capped at 1.5x so a
+        # merge can cost at most a third of the merged bucket's slots.
+        # Threshold trade-off measured at the MillionSong shape with the
+        # quarter ladder: 2^20 -> 94.1M slots / ~46 ops, 2^17 -> 85.9M /
+        # ~120 ops, no merge -> 85.5M / ~138 ops.  Per-op dispatch is
+        # microseconds against ~5 ms of slot work, so the default leans to
+        # fill (2^17); HPFREC_TPU_ELL_MERGE_LOG2 overrides.
+        import os
+
+        MERGE_SLOTS = 1 << int(os.environ.get("HPFREC_TPU_ELL_MERGE_LOG2",
+                                              "17"))
         for c in np.unique(seg_chunk):
             in_c = seg_chunk == c
             ws = np.unique(width[in_c])
             for j, w in enumerate(ws[:-1]):
                 sel = in_c & (width == w)
-                if sel.sum() * w < MERGE_SLOTS and ws[j + 1] <= 4 * w:
+                if sel.sum() * w < MERGE_SLOTS and 2 * ws[j + 1] <= 3 * w:
                     width[sel] = ws[j + 1]
 
     bucket_key = seg_chunk * (2 * max_width) + width if tiled else width
