@@ -35,15 +35,23 @@ def synth_tasteprofile(nU=1_019_318, nI=376_768, nnz=38_700_000, seed=0):
 
 
 def main():
+    import pandas as pd
+
     from hpfrec_tpu import HPF
+    from hpfrec_tpu.utils.evaluation import evaluate
 
     print("Generating synthetic TasteProfile-size data (38.7M nonzeros)...")
     arr = synth_tasteprofile()
 
+    # 80/20 train/test split, like the notebook's protocol (cells 5-7)
+    rng = np.random.default_rng(7)
+    is_train = rng.random(arr.shape[0]) < 0.8
+    train, test = arr[is_train], arr[~is_train]
+
     model = HPF(k=50, maxiter=30, stop_crit="train-llk", check_every=10,
                 random_seed=123, verbose=True)
     t0 = time.time()
-    model.fit(arr)
+    model.fit(train)
     print(f"\nTotal fit wall time: {time.time() - t0:.0f}s "
           f"(niter={model.niter + 1}, train_llk={model.train_llk:.3e})")
 
@@ -55,6 +63,27 @@ def main():
     print(f"topN_batch: {recs.shape[0]} users ranked over {model.nitems} "
           f"items in {dt*1e3:.0f} ms ({dt/len(users)*1e3:.2f} ms/user; the "
           f"reference's single-user topN records 45.8 ms)")
+
+    # Quality protocol of the reference notebook (cells 13-15: mean
+    # predicted rate on test vs random pairs, ROC-AUC against random
+    # negatives, corr(Count, Predicted)), plus recall@10/NDCG@10 over a
+    # 20K-user sample.  The reference's recorded values on the REAL
+    # TasteProfile are AUC 0.7351, corr 0.1177, mean rate 0.0857 vs
+    # 0.0282 — this synthetic stand-in checks the model learns the same
+    # kind of structure (AUC >> 0.5, test lift >> 1), not those exact
+    # numbers, since the real dataset cannot be downloaded here.
+    t0 = time.time()
+    test_df = pd.DataFrame({"UserId": test[:, 0].astype(np.int64),
+                            "ItemId": test[:, 1].astype(np.int64),
+                            "Count": test[:, 2]})
+    stats = evaluate(model, test_df, k=10, exclude_seen=True,
+                     rank_users=20_000)
+    print(f"\nQuality (synthetic TasteProfile, {time.time()-t0:.0f}s; "
+          "reference notebook on real data: AUC 0.7351, corr 0.1177, "
+          "mean rate 0.0857 vs 0.0282):")
+    for key, val in stats.items():
+        print(f"  {key:18s} {val:.4f}" if isinstance(val, float)
+              else f"  {key:18s} {val}")
 
 
 if __name__ == "__main__":

@@ -190,10 +190,14 @@ def _auc_from_scores(pos: np.ndarray, neg: np.ndarray) -> float:
 
 
 def evaluate(model, test_df, k: int = 10, exclude_seen: bool = True,
-             random_seed: int = 1) -> dict:
+             random_seed: int = 1, rank_users: Optional[int] = None) -> dict:
     """One-call evaluation bundle: the notebook's three statistics plus
     recall@k/NDCG@k.  Scores the test pairs and the negative sample once
-    and derives all pairwise statistics from them.  Returns a flat dict."""
+    and derives all pairwise statistics from them.  ``rank_users`` caps
+    the ranking pass to a deterministic sample of that many test users
+    (full-catalog ranking costs ~1 ms/user at MillionSong scale, so
+    ranking all 1M test users would dominate the evaluation).  Returns a
+    flat dict."""
     assert model.is_fitted
     y, ru, ri = _model_pairs(model, test_df)
     if len(y) == 0:
@@ -211,7 +215,13 @@ def evaluate(model, test_df, k: int = 10, exclude_seen: bool = True,
     out["roc_auc"] = _auc_from_scores(pos, neg)
     out["corr_count_pred"] = (float(np.corrcoef(y, pos)[0, 1])
                               if len(y) >= 2 else np.nan)
-    rk = ranking_metrics(model, test_df, k=k, exclude_seen=exclude_seen)
+    users = None
+    if rank_users is not None:
+        cand = np.unique(ru)
+        if len(cand) > rank_users:
+            users = rng.choice(cand, size=rank_users, replace=False)
+    rk = ranking_metrics(model, test_df, k=k, exclude_seen=exclude_seen,
+                         users=users)
     out[f"recall_at_{k}"] = rk["recall"]
     out[f"ndcg_at_{k}"] = rk["ndcg"]
     out["n_eval_users"] = rk["n_users"]
