@@ -471,3 +471,34 @@ def test_sharded_dispatch_square_coincident_buckets(monkeypatch):
     m8.fit(df.copy())
     np.testing.assert_allclose(m8.Theta, m1.Theta, rtol=1e-5)
     np.testing.assert_allclose(m8.Beta, m1.Beta, rtol=1e-5)
+
+
+def test_ladder_variants_numerically_inert(monkeypatch):
+    """The width ladder / merge threshold change only the layout, never the
+    math: fits under each knob setting must agree to float tolerance."""
+    import pandas as pd
+
+    from hpfrec_tpu import HPF
+    from hpfrec_tpu.ops import ell as ell_mod
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"UserId": rng.integers(0, 90, 2000),
+                       "ItemId": rng.integers(0, 70, 2000),
+                       "Count": rng.poisson(2.0, 2000) + 1.0}
+                      ).drop_duplicates(["UserId", "ItemId"])
+
+    results = {}
+    for lad, merge in (("half", "20"), ("quarter", "17"), ("eighth", "1")):
+        monkeypatch.setenv("HPFREC_TPU_ELL_LADDER", lad)
+        monkeypatch.setenv("HPFREC_TPU_ELL_MERGE_LOG2", merge)
+        ell_mod._ladder_cache.clear()
+        m = HPF(k=6, maxiter=8, check_every=4, stop_crit="train-llk",
+                stop_thr=1e-12, random_seed=4, verbose=False)
+        m.fit(df.copy())
+        results[lad] = (m.Theta, m.train_llk)
+    ell_mod._ladder_cache.clear()
+    base_T, base_llk = results["half"]
+    for lad in ("quarter", "eighth"):
+        T, llk = results[lad]
+        np.testing.assert_allclose(T, base_T, rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(llk, base_llk, rtol=1e-6)
