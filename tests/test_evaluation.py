@@ -114,3 +114,27 @@ def test_ranking_metrics_k_exceeds_catalog():
     out = ev.ranking_metrics(m, test, k=10, exclude_seen=False)
     assert out["k"] == 3  # clamped to the catalog size
     assert 0.0 <= out["recall"] <= 1.0 and 0.0 <= out["ndcg"] <= 1.0
+
+
+def test_evaluate_rank_users_subsample():
+    """rank_users caps the ranking pass to a deterministic user sample."""
+    rng = np.random.default_rng(4)
+    nU, nI = 70, 40
+    df = pd.DataFrame({"UserId": rng.integers(0, nU, 2500),
+                       "ItemId": rng.integers(0, nI, 2500),
+                       "Count": rng.poisson(2.0, 2500) + 1.0}
+                      ).drop_duplicates(["UserId", "ItemId"])
+    train = df.iloc[: len(df) * 4 // 5]
+    test = df.iloc[len(df) * 4 // 5:]
+    m = HPF(k=5, maxiter=8, verbose=False, random_seed=1, keep_data=True)
+    m.fit(train)
+
+    full = ev.evaluate(m, test, k=5)
+    sub = ev.evaluate(m, test, k=5, rank_users=10)
+    assert sub["n_eval_users"] == 10
+    assert full["n_eval_users"] > 10
+    # pairwise statistics are unaffected by the ranking subsample
+    assert sub["roc_auc"] == full["roc_auc"]
+    # deterministic for a fixed seed
+    sub2 = ev.evaluate(m, test, k=5, rank_users=10)
+    assert sub2["recall_at_5"] == sub["recall_at_5"]
