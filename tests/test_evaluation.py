@@ -126,7 +126,8 @@ def test_evaluate_rank_users_subsample():
                       ).drop_duplicates(["UserId", "ItemId"])
     train = df.iloc[: len(df) * 4 // 5]
     test = df.iloc[len(df) * 4 // 5:]
-    m = HPF(k=5, maxiter=8, verbose=False, random_seed=1, keep_data=True)
+    m = HPF(k=5, maxiter=8, check_every=4, verbose=False, random_seed=1,
+            keep_data=True)
     m.fit(train)
 
     full = ev.evaluate(m, test, k=5)
