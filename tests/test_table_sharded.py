@@ -2,6 +2,7 @@
 engine, on the 8-device virtual mesh."""
 
 import numpy as np
+import pytest
 
 from oracle import synth_counts
 
@@ -282,3 +283,32 @@ def test_degree_balanced_rows_parity_and_balance(monkeypatch):
     contig = deg_pad.reshape(ndev, -1).sum(axis=1)
     assert loads.max() - loads.min() <= max(int(deg.max()), 1)
     assert (loads.max() / max(loads.min(), 1)) < (contig.max() / max(contig.min(), 1))
+
+
+@pytest.mark.parametrize("nU,nI", [(64, 40), (120, 64), (16, 9), (64, 64)])
+def test_table_sharded_divisibility_edges(nU, nI):
+    """Shapes where one or both sides divide the mesh exactly (no padding)
+    or are tiny: the engine-space detection bug found in round 3 only
+    triggered on such shapes."""
+    import pandas as pd
+
+    from hpfrec_tpu import HPF
+    from hpfrec_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(nU + nI)
+    n = 30 * max(nU, nI)
+    df = pd.DataFrame({"UserId": rng.integers(0, nU, n),
+                       "ItemId": rng.integers(0, nI, n),
+                       "Count": rng.poisson(2.0, n) + 1.0}
+                      ).drop_duplicates(["UserId", "ItemId"])
+    ref = HPF(k=4, maxiter=6, check_every=3, stop_crit="train-llk",
+              stop_thr=1e-12, random_seed=2, verbose=False)
+    ref.fit(df.copy())
+    m = HPF(k=4, maxiter=6, check_every=3, stop_crit="train-llk",
+            stop_thr=1e-12, random_seed=2, verbose=False,
+            mesh=make_mesh(), shard_tables=True)
+    m.fit(df.copy())
+    assert m.Theta.shape == ref.Theta.shape
+    assert m.Beta.shape == ref.Beta.shape
+    np.testing.assert_allclose(m.Theta, ref.Theta, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(m.Beta, ref.Beta, rtol=1e-4, atol=1e-6)
