@@ -24,7 +24,7 @@ REPO = str(Path(__file__).resolve().parents[1])
 WORKER = """
 import os, sys
 pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
-shard_tables = sys.argv[4] == "1"
+mode = sys.argv[4]  # "dp" | "table" | "svi"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import numpy as np
@@ -42,8 +42,10 @@ import pandas as pd
 from hpfrec_tpu import HPF
 y, iu, ii = synth_counts(83, 45, nnz=800, seed=5)
 df = pd.DataFrame({{"UserId": iu, "ItemId": ii, "Count": y}})
+kw = dict(users_per_batch=24) if mode == "svi" else dict(
+    shard_tables=(mode == "table"))
 m = HPF(k=6, maxiter=10, check_every=5, stop_crit="train-llk", stop_thr=1e-10,
-        random_seed=3, verbose=False, mesh=mesh, shard_tables=shard_tables)
+        random_seed=3, verbose=False, mesh=mesh, **kw)
 m.fit(df)
 np.savez(os.path.join(outdir, "out_%d.npz" % pid),
          Theta=m.Theta, Beta=m.Beta, llk=np.float64(m.train_llk))
@@ -58,7 +60,7 @@ def _free_port():
     return port
 
 
-def _run_two_processes(tmp_path, shard_tables):
+def _run_two_processes(tmp_path, mode):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER.format(repo=REPO,
                                     tests=str(Path(__file__).parent)))
@@ -67,7 +69,7 @@ def _run_two_processes(tmp_path, shard_tables):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(pid), str(port), str(tmp_path),
-         "1" if shard_tables else "0"],
+         mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in (0, 1)]
     logs = [p.communicate(timeout=240)[0].decode() for p in procs]
@@ -76,29 +78,30 @@ def _run_two_processes(tmp_path, shard_tables):
     return np.load(tmp_path / "out_0.npz"), np.load(tmp_path / "out_1.npz")
 
 
-def _single_process_reference(shard_tables):
+def _single_process_reference(mode):
     from hpfrec_tpu import HPF
     from hpfrec_tpu.parallel import make_mesh
 
     y, iu, ii = synth_counts(83, 45, nnz=800, seed=5)
     df = pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
+    kw = dict(users_per_batch=24) if mode == "svi" else dict(
+        shard_tables=(mode == "table"))
     ref = HPF(k=6, maxiter=10, check_every=5, stop_crit="train-llk",
               stop_thr=1e-10, random_seed=3, verbose=False, mesh=make_mesh(),
-              shard_tables=shard_tables)
+              **kw)
     ref.fit(df)
     return ref
 
 
-@pytest.mark.parametrize("shard_tables", [False, True],
-                         ids=["data_parallel", "table_sharded"])
-def test_two_process_fit_matches_single_process(tmp_path, shard_tables):
-    o0, o1 = _run_two_processes(tmp_path, shard_tables)
+@pytest.mark.parametrize("mode", ["dp", "table", "svi"])
+def test_two_process_fit_matches_single_process(tmp_path, mode):
+    o0, o1 = _run_two_processes(tmp_path, mode)
     # both processes hold the same replicated result
     np.testing.assert_allclose(o0["Theta"], o1["Theta"], rtol=1e-6)
     assert float(o0["llk"]) == float(o1["llk"])
 
     # and it matches a single-process fit over the same 8 (harness) devices
-    ref = _single_process_reference(shard_tables)
+    ref = _single_process_reference(mode)
     np.testing.assert_allclose(o0["Theta"], ref.Theta, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(o0["Beta"], ref.Beta, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(float(o0["llk"]), ref.train_llk, rtol=1e-5)
