@@ -59,7 +59,13 @@ def exp_elog_tables(shp: jax.Array, rte: jax.Array) -> jax.Array:
     chain cost ~2x the gathers themselves; this removes it entirely.
     """
     elog = digamma(shp) - jnp.log(rte)
-    return jnp.exp(elog - jnp.max(elog, axis=1, keepdims=True))
+    m = jnp.max(elog, axis=1, keepdims=True)
+    # an all--inf row (a pad row under the table-sharded engine's
+    # infinite-rate invariant) would make elog - m = NaN; zeroing the
+    # non-finite rowmax keeps exp(-inf - 0) = +0.0 exactly.  Finite rows
+    # are bit-unchanged, and the guard is one (n, 1) where.
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    return jnp.exp(elog - m)
 
 
 def _phi_block(t_tab, b_tab, y, iu, ii):

@@ -283,26 +283,28 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         np.searchsorted(_width_ladder(), np.maximum(seg_len, 1))]
     width = np.minimum(np.maximum(width, min_width), max_width)
     tiled = col_chunk_rows is not None
-    if tiled:
-        # merge small width-buckets within a chunk into the NEXT rung to
-        # bound the op count of the unrolled compute; capped at 1.5x so a
-        # merge can cost at most a third of the merged bucket's slots.
-        # Threshold trade-off measured at the MillionSong shape with the
-        # quarter ladder: 2^20 -> 94.1M slots / ~46 ops, 2^17 -> 85.9M /
-        # ~120 ops, no merge -> 85.5M / ~138 ops.  Per-op dispatch is
-        # microseconds against ~5 ms of slot work, so the default leans to
-        # fill (2^17); HPFREC_TPU_ELL_MERGE_LOG2 overrides.
-        import os
+    # merge small width-buckets (within a chunk, for tiled layouts) into
+    # the NEXT rung to bound the op count of the unrolled compute; capped
+    # at 1.5x so a merge can cost at most a third of the merged bucket's
+    # slots.  Threshold trade-off measured at the MillionSong shape with
+    # the quarter ladder: 2^20 -> 94.1M slots / ~46 ops, 2^17 -> 85.9M /
+    # ~120 ops, no merge -> 85.5M / ~138 ops.  Per-op dispatch is
+    # microseconds against ~5 ms of slot work, so the default leans to
+    # fill (2^17); HPFREC_TPU_ELL_MERGE_LOG2 overrides.  Merging applies
+    # to UNTILED layouts too (round 3): at the 10M-nnz shape the merged
+    # ~35-bucket frame measured ~15% faster than the unmerged 50-bucket
+    # one despite ~1% more slots — below ~2^17 slots a bucket is op-
+    # overhead-bound, not slot-bound.
+    import os
 
-        MERGE_SLOTS = 1 << int(os.environ.get("HPFREC_TPU_ELL_MERGE_LOG2",
-                                              "17"))
-        for c in np.unique(seg_chunk):
-            in_c = seg_chunk == c
-            ws = np.unique(width[in_c])
-            for j, w in enumerate(ws[:-1]):
-                sel = in_c & (width == w)
-                if sel.sum() * w < MERGE_SLOTS and 2 * ws[j + 1] <= 3 * w:
-                    width[sel] = ws[j + 1]
+    MERGE_SLOTS = 1 << int(os.environ.get("HPFREC_TPU_ELL_MERGE_LOG2", "17"))
+    for c in np.unique(seg_chunk):
+        in_c = seg_chunk == c
+        ws = np.unique(width[in_c])
+        for j, w in enumerate(ws[:-1]):
+            sel = in_c & (width == w)
+            if sel.sum() * w < MERGE_SLOTS and 2 * ws[j + 1] <= 3 * w:
+                width[sel] = ws[j + 1]
 
     bucket_key = seg_chunk * (2 * max_width) + width if tiled else width
 
