@@ -11,10 +11,23 @@ original BASELINE.md figure "1.85 G" was a 1000x arithmetic slip —
 4.26e9 total updates over 2298 s is 1.85e6/s).
 
 Timing method: this environment's TPU runtime acknowledges work before it
-finishes, so ``block_until_ready`` under-reports.  We therefore time two
-single-dispatch runs of different iteration counts with a forced host
-readback and report the differential — pure steady-state device time per
-iteration, with no dispatch, transfer, or compile overhead on either side.
+finishes, so ``block_until_ready`` under-reports.  We therefore time runs
+of different iteration counts with a forced host readback and report a
+differential — pure steady-state device time per iteration, with no
+dispatch, transfer, or compile overhead on either side.
+
+Statistic (round-4 hardening): session throughput drifts +-15-50%
+run-to-run here, so small/big runs are measured back-to-back as PAIRS
+(the drift hits both runs of a pair roughly equally) and the reported
+per-iteration time is the MEDIAN of >=5 paired differentials.  The
+earlier min(big) - min(small) over independent repeats let one
+lucky-fast big run pair with a slow-floor small run — BENCH_r03's
+134.8 Mnnz/s was a 2x inflation produced exactly that way.  As a hard
+cross-check, the result is compared to the engine's own slot count: the
+fused gather rate ceiling is ~204-220 M slots/s on this chip, so any
+pair implying more than SOL_SLOTS_PER_S is physically impossible and is
+dropped (reported in the JSON); if every pair is impossible the value is
+clamped to the speed-of-light bound and flagged.
 """
 
 import json
@@ -22,6 +35,11 @@ import os
 import time
 
 import numpy as np
+
+# Measured fused gather+phi ceiling on this chip: flat 204-220 M slots/s
+# for any 2-40 MB operand (PERFORMANCE.md).  A differential implying more
+# than this rate is a timing artifact, not a measurement.
+SOL_SLOTS_PER_S = 230e6
 
 
 def synth_powerlaw(nU, nI, nnz, seed=0, dtype=np.float32):
@@ -76,12 +94,13 @@ def main():
     y, iu, ii = synth_powerlaw(nU, nI, nnz)
     prep = lambda st: st  # noqa: E731 — engine-space transform (table mode)
 
+    slots_per_iter = None  # both E-step sides' gather slots (None: COO)
     if engine == "table":
         # the model-parallel engine on a mesh over the available devices
         # (on the single bench chip the ppermute ring degenerates, so this
         # measures the per-device compute path — sub-tiled fast-window
         # gathers + masked updates — not ICI exchange)
-        from hpfrec_tpu.ops.ell import gather_table_dtype
+        from hpfrec_tpu.ops.ell import gather_table_dtype, layout_slots
         from hpfrec_tpu.parallel import make_mesh
         from hpfrec_tpu.parallel.table_sharded import (
             make_table_sharded_step, pad_state, permute_state,
@@ -99,6 +118,7 @@ def main():
             indptr_u, ind_u, dat_u, indptr_i, ind_i, dat_i, nU, nI, k,
             ndev, g_item)
         nU_p, nI_p = plan_u[0], plan_i[0]
+        slots_per_iter = layout_slots(se_u) + layout_slots(se_i)
         runner = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI,
                                          gather_dtype=gd,
                                          row_ids_u=perm_u, row_ids_i=perm_i)
@@ -109,7 +129,8 @@ def main():
             pad_state(st, nU_p, nI_p), perm_u, perm_i)
     elif engine in ("auto", "ell"):
         from hpfrec_tpu.ops.ell import (build_ell, device_ell, gather_table_dtype,
-                                        plan_col_tiling, run_cavi_block_ell)
+                                        layout_slots, plan_col_tiling,
+                                        run_cavi_block_ell)
         from hpfrec_tpu.utils.data import build_csr
 
         gd = gather_table_dtype(max(nU, nI), k,
@@ -123,6 +144,7 @@ def main():
         ell_i = device_ell(build_ell(indptr_i, ind_i, dat_i, nI,
                                      col_chunk_rows=plan_col_tiling(nU, k, g_item),
                                      n_cols=nU))
+        slots_per_iter = layout_slots(ell_u) + layout_slots(ell_i)
         # layouts as jit args (not closures) so they are buffers, not
         # embedded HLO constants
         jitted = jax.jit(run_cavi_block_ell,
@@ -141,17 +163,22 @@ def main():
     # Calibrate a per-dispatch iteration cap: a single dispatch running
     # >~60 s can crash the TPU worker (RPC watchdog), so long runs are
     # chained as short dispatches (measured overhead <10%, and it biases
-    # the reported throughput DOWN — conservative).  Standalone twin of
-    # HPF._capped_runner — keep the two in sync (bench times the raw
-    # engine on purpose, without the model class in the loop).
+    # the reported throughput DOWN — conservative).  Calibration uses the
+    # shared noise-robust rule (max of 2 samples + 1.5x margin,
+    # hpf._dispatch_cap_from_samples).
+    from hpfrec_tpu.models.hpf import _dispatch_cap_from_samples
+
     budget = float(os.environ.get("HPFREC_TPU_DISPATCH_BUDGET_S", "30"))
     st = runner(prep(initialize_state(nU, nI, hp, 123)), jnp.asarray(2, jnp.int32))
     float(jnp.sum(st.k_rte))  # compile + warm
-    t0 = time.perf_counter()
-    st = runner(st, jnp.asarray(1, jnp.int32))
-    float(jnp.sum(st.k_rte))
-    per_iter_est = max(time.perf_counter() - t0, 1e-6)
-    cap = max(1, int(budget / per_iter_est)) if budget > 0 else 10 ** 9
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        st = runner(st, jnp.asarray(1, jnp.int32))
+        float(jnp.sum(st.k_rte))
+        samples.append(max(time.perf_counter() - t0, 1e-6))
+    cap = (_dispatch_cap_from_samples(samples, budget) if budget > 0
+           else 10 ** 9)
 
     def timed(n):
         st = prep(initialize_state(nU, nI, hp, 123))
@@ -164,29 +191,64 @@ def main():
         checksum = float(jnp.sum(st.k_rte))  # host readback forces completion
         assert np.isfinite(checksum), "bench produced invalid state"
         return time.perf_counter() - t0
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    # min() of each run length separately: the min is the clean-machine
-    # estimate of that length's cost, and their difference is the
-    # steady-state per-iteration time.  (min of the *differences* would be
-    # biased fast under this environment's +-50% throughput noise.)
-    t_small = [timed(2) for _ in range(repeats)]
-    t_big = [timed(2 + iters) for _ in range(repeats)]
-    per_iter = (min(t_big) - min(t_small)) / iters
+
+    # PAIRED differentials: each repeat runs small then big back-to-back,
+    # so the session-level throughput drift (measured +-15-50% here)
+    # cancels within a pair; the statistic is the median pair.  The
+    # pre-round-4 min(big)-min(small) over independent runs could marry a
+    # lucky-fast big to a slow-floor small with nothing to catch it
+    # (BENCH_r03: 134.8 Mnnz/s — above the engine's own slot-count
+    # speed-of-light; the builder's same-config measurement was 71.9).
+    repeats = int(os.environ.get("BENCH_REPEATS", 5))
+    t_small, t_big, pairs = [], [], []
+    for _ in range(repeats):
+        ts = timed(2)
+        tb = timed(2 + iters)
+        t_small.append(ts)
+        t_big.append(tb)
+        pairs.append((tb - ts) / iters)
+
+    # physics cross-check: drop pairs implying more gather slots/s than
+    # the measured hardware ceiling (those are timing artifacts by
+    # construction); if nothing survives, clamp to the bound and say so
+    flags = []
+    kept = pairs
+    if slots_per_iter is not None:
+        # the ceiling is per chip; all devices gather in parallel
+        sol = SOL_SLOTS_PER_S * max(1, jax.device_count())
+        floor_s = slots_per_iter / sol  # fastest possible iteration
+        kept = [p for p in pairs if p >= floor_s]
+        n_dropped = len(pairs) - len(kept)
+        if n_dropped:
+            flags.append("dropped %d/%d pairs implying > %.0fM slots/s"
+                         % (n_dropped, len(pairs), sol / 1e6))
+        if not kept:
+            kept = [floor_s]
+            flags.append("all pairs physically impossible; value clamped "
+                         "to the slot-count speed-of-light bound")
+    per_iter = float(np.median(kept))
 
     value = nnz / per_iter
     baseline = 1.85e6
-    print(json.dumps({
+    out = {
         "metric": "nonzeros_per_sec_per_chip",
         "value": value,
         "unit": "nnz/s",
         "vs_baseline": value / baseline,
-        # auditability: the raw repeat timings behind the min-of-runs
-        # statistic (tunnel throughput varies +-50% run to run), plus the
-        # config so the scale the number was measured at is unambiguous
+        # auditability: raw paired timings, the engine's slot count, and
+        # the implied sustained slot rate so the number can be checked
+        # against the 204-220 M slots/s gather ceiling at a glance
         "config": "%s nU=%d nI=%d nnz=%d k=%d" % (scale, nU, nI, nnz, k),
         "repeats_small_s": [round(t, 3) for t in t_small],
         "repeats_big_s": [round(t, 3) for t in t_big],
-    }))
+        "pair_iter_s": [round(p, 4) for p in pairs],
+    }
+    if slots_per_iter is not None:
+        out["slots_per_iter"] = slots_per_iter
+        out["implied_slots_per_s"] = round(slots_per_iter / per_iter)
+    if flags:
+        out["sanity_flags"] = flags
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -54,6 +54,9 @@ def main():
     model.fit(train)
     print(f"\nTotal fit wall time: {time.time() - t0:.0f}s "
           f"(niter={model.niter + 1}, train_llk={model.train_llk:.3e})")
+    print(f"End-to-end throughput: {model.fit_stats_.nnz_per_second:.3g} "
+          f"nonzero-updates/s (device + host + compile; bench.py measures "
+          f"the steady-state device rate)")
 
     # batch serving over the full 377K-item catalog
     users = np.arange(1024)

@@ -34,6 +34,10 @@ def main():
     model = HPF(k=30, stop_crit="val-llk", check_every=5, stop_thr=1e-4,
                 maxiter=200, random_seed=123)
     model.fit(train, val_set=val)
+    print("fit throughput: %.3g nonzero-updates/s end-to-end "
+          "(%d iterations over %d nonzeros in %.1fs)"
+          % (model.fit_stats_.nnz_per_second, model.fit_stats_.iterations,
+             model.fit_stats_.nnz, model.fit_stats_.wall_seconds))
 
     # --- evaluation ---------------------------------------------------
     print("\nheld-out llk:", model.eval_llk(val.copy()))

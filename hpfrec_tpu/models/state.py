@@ -64,6 +64,15 @@ class VariationalState(NamedTuple):
 
     Shapes: ``G_shp``/``G_rte``: (nU, k); ``L_shp``/``L_rte``: (nI, k);
     ``k_rte``: (nU, 1); ``t_rte``: (nI, 1).
+
+    PADDED-STATE INVARIANT (table-sharded engine): a state that went
+    through ``parallel.table_sharded.pad_state`` carries ENGINE-INTERNAL
+    garbage on its pad rows — after a step they hold e.g. ``G_shp = a``
+    with ``G_rte = +inf`` (so ``shp/rte`` and ``exp(digamma(shp) -
+    log(rte))`` are exactly +0.0, which is all the step relies on).  Pad
+    rows must never be read directly: every consumer (checkpointing,
+    metrics, the final fitted attributes) must go through
+    ``HPF._slice_state_real`` / divide shp by rte first.
     """
 
     G_shp: jax.Array

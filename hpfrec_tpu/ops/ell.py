@@ -284,17 +284,22 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     width = np.minimum(np.maximum(width, min_width), max_width)
     tiled = col_chunk_rows is not None
     # merge small width-buckets (within a chunk, for tiled layouts) into
-    # the NEXT rung to bound the op count of the unrolled compute; capped
-    # at 1.5x so a merge can cost at most a third of the merged bucket's
-    # slots.  Threshold trade-off measured at the MillionSong shape with
+    # the NEXT rung; each hop is gated at 1.5x so one merge can cost at
+    # most a third of the merged bucket's slots.  NOTE the gate is per
+    # hop, not global: a merged bucket is re-considered at the next rung,
+    # so merges can CASCADE (w -> ws[j+1] -> ws[j+2]) and a segment's
+    # final width may exceed 1.5x its original rung — intentional, since
+    # a bucket that is still tiny after one merge is still op-overhead-
+    # bound.  Threshold trade-off measured at the MillionSong shape with
     # the quarter ladder: 2^20 -> 94.1M slots / ~46 ops, 2^17 -> 85.9M /
     # ~120 ops, no merge -> 85.5M / ~138 ops.  Per-op dispatch is
     # microseconds against ~5 ms of slot work, so the default leans to
     # fill (2^17); HPFREC_TPU_ELL_MERGE_LOG2 overrides.  Merging applies
     # to UNTILED layouts too (round 3): at the 10M-nnz shape the merged
-    # ~35-bucket frame measured ~15% faster than the unmerged 50-bucket
-    # one despite ~1% more slots — below ~2^17 slots a bucket is op-
-    # overhead-bound, not slot-bound.
+    # ~35-bucket frame measured ~8% faster end-to-end than the unmerged
+    # ~50-bucket one despite ~1% more slots (120.1 -> 130.6 Mnnz/s
+    # same-session, PERFORMANCE.md) — below ~2^17 slots a bucket is
+    # op-overhead-bound, not slot-bound.
     import os
 
     MERGE_SLOTS = 1 << int(os.environ.get("HPFREC_TPU_ELL_MERGE_LOG2", "17"))
@@ -377,6 +382,19 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
                      split_rows=split.astype(np.int64),
                      split_seg_pos=split_seg_pos, n_rows=n_rows,
                      col_spans=tuple(spans) if tiled else None)
+
+
+def layout_slots(layout) -> int:
+    """Total gather slots of a layout's buckets, pad segments included —
+    the engine's unit of work.  One E-step side costs exactly this many
+    fused gather+multiply+reduce slots, so ``sum(layout_slots(side) for
+    side in (user, item)) / t_iter`` is the sustained slot rate, bounded
+    by the measured flat gather ceiling of 204-220 M slots/s
+    (PERFORMANCE.md).  Works for both :class:`EllLayout` ((m, w) buckets)
+    and the table-sharded ``ShardedEll`` ((ndev, m, w) buckets — the
+    common frame is gathered on every device, so all-device slots are the
+    honest total)."""
+    return int(sum(int(np.prod(b.cols.shape)) for b in layout.buckets))
 
 
 def device_ell(layout: EllLayout) -> EllLayout:

@@ -101,16 +101,18 @@ def topn_batch(Theta, Beta, users, n, seen_indptr=None, seen_indices=None,
     # user's best-scoring seen items so the output stays rectangular.
     bad = ~np.isfinite(vals)
     if bad.any():
-        scores = None
         for j in np.flatnonzero(bad.any(axis=1)):
             seen = np.asarray(seen_indices)[starts[j]:starts[j] + counts[j]]
             good = idx[j][np.isfinite(vals[j])]
             rest = np.setdiff1d(np.arange(nI), np.concatenate([seen, good]))
             fill = np.concatenate([good, rest])
             if fill.shape[0] < k_eff:
-                if scores is None:
-                    scores = np.asarray(Theta[users]) @ np.asarray(Beta).T
-                order = seen[np.argsort(-scores[j][seen], kind="stable")]
+                # score only THIS user's seen items — (n_seen_j,) work.  An
+                # earlier version scored the whole batch against the whole
+                # catalog here ((b, nI) — ~6 GB at b=4096 x 377K items), so
+                # one pathological user made every batch member pay.
+                s_seen = np.asarray(Theta[users[j]]) @ np.asarray(Beta)[seen].T
+                order = seen[np.argsort(-s_seen, kind="stable")]
                 fill = np.concatenate([fill, order])
             idx[j] = fill[:k_eff]
     return idx

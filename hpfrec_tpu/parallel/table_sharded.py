@@ -518,7 +518,13 @@ def pad_state(state: VariationalState, n_users_padded, n_items_padded):
     re-derives the infinite rate.  Pad rows then stay inert through every
     colsum without any per-iteration (n, k) mask work (round-2 verdict
     weak #3 follow-up: the masked step spent ~7 elementwise passes over
-    the 204 MB user table per iteration on masking alone)."""
+    the 204 MB user table per iteration on masking alone).
+
+    CONSUMER CONTRACT: after a step, pad rows hold nonzero engine-internal
+    values (e.g. ``G_shp = a`` with ``G_rte = +inf``) — only the
+    shp/rte-derived quantities are guaranteed zero there.  Never read a
+    padded state's rows directly; slice to real rows first
+    (``HPF._slice_state_real``).  See the ``VariationalState`` docstring."""
     import jax.numpy as jnp
 
     def pad_rows(a, n, fill):

