@@ -591,14 +591,82 @@ def cavi_step_ell(state, ell_u: EllLayout, ell_i: EllLayout, hp,
     return VariationalState(G_shp, G_rte, L_shp, L_rte, k_rte, t_rte)
 
 
+def _carry_init(state, gather_dtype):
+    """Derive the loop-carried auxiliaries from a state: both sides' exp
+    tables and colsum(Beta)."""
+    import jax.numpy as jnp
+
+    from .cavi import exp_elog_tables
+
+    t_tab = exp_elog_tables(state.G_shp, state.G_rte)
+    b_tab = exp_elog_tables(state.L_shp, state.L_rte)
+    if gather_dtype is not None:
+        t_tab = t_tab.astype(gather_dtype)
+        b_tab = b_tab.astype(gather_dtype)
+    beta_colsum = jnp.sum(state.L_shp / state.L_rte, axis=0, keepdims=True)
+    return state, t_tab, b_tab, beta_colsum
+
+
+def cavi_step_ell_carried(carry, ell_u: EllLayout, ell_i: EllLayout, hp,
+                          phi_sums_fn=None, gather_dtype=None):
+    """One CAVI iteration on a ``(state, t_tab, b_tab, colsum(Beta))``
+    carry — the multi-iteration form of :func:`cavi_step_ell`.
+
+    Same math, restructured to cut O((nU+nI)·k) table traffic between
+    E-step passes (the measured residual between the sustained ~160 M
+    slots/s iteration rate and the 204-220 M gather ceiling at catalog
+    scale — round-3 profiling): instead of re-deriving
+    ``exp(digamma(shp) - log(rte))`` for both sides and re-computing
+    ``colsum(L_shp/L_rte)`` from the carried state at the top of every
+    iteration (5 full passes over the 204 MB + 75 MB tables that XLA
+    cannot fuse across the ``fori_loop`` carry), each iteration produces
+    the NEXT iteration's exp table and Beta colsum at the point where the
+    side's shp/rte are updated — where XLA fuses them with the
+    ``Theta = shp/rte`` division and the colsum/rowsum reductions into a
+    single pass over the freshly produced operands.  Expressions are
+    identical on identical values, so the trajectory is unchanged."""
+    import jax.numpy as jnp
+
+    from ..models.state import VariationalState
+    from .cavi import exp_elog_tables
+
+    state, t_tab, b_tab, beta_colsum = carry
+    fn = phi_sums_fn if phi_sums_fn is not None else ell_phi_sums
+    su = fn(t_tab, b_tab, ell_u, side="user").astype(state.G_shp.dtype)
+    si = fn(b_tab, t_tab, ell_i, side="item").astype(state.L_shp.dtype)
+
+    G_rte = hp.k_shp / state.k_rte + beta_colsum
+    G_shp = hp.a + su
+    Theta = G_shp / G_rte
+    t_new = exp_elog_tables(G_shp, G_rte)
+
+    L_rte = hp.t_shp / state.t_rte + jnp.sum(Theta, axis=0, keepdims=True)
+    L_shp = hp.c + si
+    Beta = L_shp / L_rte
+    b_new = exp_elog_tables(L_shp, L_rte)
+    if gather_dtype is not None:
+        t_new = t_new.astype(gather_dtype)
+        b_new = b_new.astype(gather_dtype)
+
+    k_rte = hp.add_k_rte + jnp.sum(Theta, axis=1, keepdims=True)
+    t_rte = hp.add_t_rte + jnp.sum(Beta, axis=1, keepdims=True)
+    new_state = VariationalState(G_shp, G_rte, L_shp, L_rte, k_rte, t_rte)
+    return (new_state, t_new, b_new,
+            jnp.sum(Beta, axis=0, keepdims=True))
+
+
 def run_cavi_block_ell(state, ell_u: EllLayout, ell_i: EllLayout, niter, hp,
                        phi_sums_fn=None, gather_dtype=None):
     """``niter`` ELL CAVI iterations in one XLA program (jit-cached by the
-    caller; layouts are pytrees of arrays)."""
+    caller; layouts are pytrees of arrays).  Uses the carried-tables step
+    (:func:`cavi_step_ell_carried`); per-block overhead is one extra
+    carry-init table derivation, amortized over the block."""
     import jax
 
-    def body(_, st):
-        return cavi_step_ell(st, ell_u, ell_i, hp, phi_sums_fn=phi_sums_fn,
-                             gather_dtype=gather_dtype)
+    def body(_, carry):
+        return cavi_step_ell_carried(carry, ell_u, ell_i, hp,
+                                     phi_sums_fn=phi_sums_fn,
+                                     gather_dtype=gather_dtype)
 
-    return jax.lax.fori_loop(0, niter, body, state)
+    carry = jax.lax.fori_loop(0, niter, body, _carry_init(state, gather_dtype))
+    return carry[0]

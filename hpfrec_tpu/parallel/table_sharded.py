@@ -382,7 +382,24 @@ def make_table_sharded_step(mesh, ell_u: ShardedEll, ell_i: ShardedEll,
     per_u = ell_u.rows_per_dev
     per_i = ell_i.rows_per_dev
 
-    def step_local(state, umask, imask):
+    def _cast(tab):
+        return tab.astype(gather_dtype) if gather_dtype is not None else tab
+
+    def carry_init(G_shp, G_rte, L_shp, L_rte, k_rte, t_rte):
+        # derive the loop-carried auxiliaries (exp tables + Beta colsum)
+        # once per block; each iteration then produces the NEXT ones where
+        # the side's shp/rte are updated, fusing with the Theta/Beta
+        # divisions and reductions (same carried-tables restructure as
+        # ops.ell.cavi_step_ell_carried — saves the 5 per-iteration table
+        # passes the fori_loop carry blocked XLA from fusing)
+        t_loc = _cast(exp_elog_tables(G_shp, G_rte))
+        b_loc = _cast(exp_elog_tables(L_shp, L_rte))
+        beta_colsum = jax.lax.psum(
+            jnp.sum(L_shp / L_rte, axis=0, keepdims=True), DATA_AXIS)
+        return (G_shp, G_rte, L_shp, L_rte, k_rte, t_rte,
+                t_loc, b_loc, beta_colsum)
+
+    def step_local(carry, umask, imask):
         # maskless pad-row handling: pad rows carry k_rte/t_rte = 0 (see
         # ``pad_state``), so their rates re-derive to +inf each iteration
         # and Theta/Beta/exp-tables are EXACTLY +0.0 there — every colsum
@@ -391,30 +408,29 @@ def make_table_sharded_step(mesh, ell_u: ShardedEll, ell_i: ShardedEll,
         # the 204 MB user table per iteration).  Only the (n, 1)
         # k_rte/t_rte updates multiply by the row masks, re-zeroing the
         # pad rows to carry the invariant.
-        G_shp, G_rte, L_shp, L_rte, k_rte, t_rte = state
-        t_loc = exp_elog_tables(G_shp, G_rte)
-        b_loc = exp_elog_tables(L_shp, L_rte)
-        if gather_dtype is not None:
-            t_loc = t_loc.astype(gather_dtype)
-            b_loc = b_loc.astype(gather_dtype)
+        (G_shp, G_rte, L_shp, L_rte, k_rte, t_rte,
+         t_loc, b_loc, beta_colsum) = carry
 
         su = _ring_table_sums(t_loc, b_loc, ell_u_local[0], ndev)
         si = _ring_table_sums(b_loc, t_loc, ell_i_local[0], ndev)
         su = su.astype(G_shp.dtype)
         si = si.astype(L_shp.dtype)
 
-        Beta_old = L_shp / L_rte
-        beta_colsum = jax.lax.psum(jnp.sum(Beta_old, axis=0, keepdims=True), DATA_AXIS)
         G_rte = hp.k_shp / k_rte + beta_colsum
         G_shp = hp.a + su
         Theta = G_shp / G_rte
+        t_new = _cast(exp_elog_tables(G_shp, G_rte))
         theta_colsum = jax.lax.psum(jnp.sum(Theta, axis=0, keepdims=True), DATA_AXIS)
         L_rte = hp.t_shp / t_rte + theta_colsum
         L_shp = hp.c + si
         Beta = L_shp / L_rte
+        b_new = _cast(exp_elog_tables(L_shp, L_rte))
+        beta_colsum_new = jax.lax.psum(
+            jnp.sum(Beta, axis=0, keepdims=True), DATA_AXIS)
         k_rte = (hp.add_k_rte + jnp.sum(Theta, axis=1, keepdims=True)) * umask
         t_rte = (hp.add_t_rte + jnp.sum(Beta, axis=1, keepdims=True)) * imask
-        return (G_shp, G_rte, L_shp, L_rte, k_rte, t_rte)
+        return (G_shp, G_rte, L_shp, L_rte, k_rte, t_rte,
+                t_new, b_new, beta_colsum_new)
 
     nb_u = len(ell_u.buckets)
     nb_i = len(ell_i.buckets)
@@ -443,11 +459,13 @@ def make_table_sharded_step(mesh, ell_u: ShardedEll, ell_i: ShardedEll,
         umask = (rid_u[:, None] < n_users_real).astype(G_shp.dtype)
         imask = (rid_i[:, None] < n_items_real).astype(L_shp.dtype)
 
-        def body(_, st):
-            return step_local(st, umask, imask)
+        def body(_, carry):
+            return step_local(carry, umask, imask)
 
-        return jax.lax.fori_loop(
-            0, niter, body, (G_shp, G_rte, L_shp, L_rte, k_rte, t_rte))
+        carry = jax.lax.fori_loop(
+            0, niter, body,
+            carry_init(G_shp, G_rte, L_shp, L_rte, k_rte, t_rte))
+        return carry[:6]
 
     table_u = P(DATA_AXIS, None)
     bucket_specs_u = []
