@@ -65,15 +65,43 @@ def main():
             return cavi_step_ell(st, lu, li, hp, gather_dtype=gather_dtype)
         return jax.lax.fori_loop(0, niter, body, state)
 
-    jit_kw = dict(static_argnames=("hp", "gather_dtype"))
-    runners = {
-        "carried": jax.jit(
-            lambda st, n: run_cavi_block_ell(st, ell_u, ell_i, n, hp=hp,
-                                             gather_dtype=gd)),
-        "legacy": jax.jit(
-            lambda st, n: legacy_block(st, ell_u, ell_i, n, hp, gd)),
+    # layouts as jit ARGUMENTS — closing over device arrays embeds them as
+    # HLO constants and overflows the remote-compile payload at this scale
+    from hpfrec_tpu.ops.ell import ell_phi_sums
+
+    def partial_sums_fn(use_user, use_item):
+        """phi_sums_fn that swaps the disabled side's E-step for zeros —
+        the per-iteration cost decomposes same-session as
+        table_work = tables_only; su = user_only - tables_only;
+        si = carried - user_only (state feedback through the carry keeps
+        the loop body live, so nothing hoists)."""
+        def fn(t_self, t_other, layout, side="user"):
+            if (side == "user" and use_user) or (side == "item" and use_item):
+                return ell_phi_sums(t_self, t_other, layout, side=side)
+            return jnp.zeros((layout.n_rows, k), jnp.float32)
+        return fn
+
+    jit_carried = jax.jit(run_cavi_block_ell,
+                          static_argnames=("hp", "phi_sums_fn",
+                                           "gather_dtype"))
+    jit_legacy = jax.jit(legacy_block,
+                         static_argnames=("hp", "gather_dtype"))
+    user_only_fn = partial_sums_fn(True, False)
+    tables_only_fn = partial_sums_fn(False, False)
+    all_runners = {
+        "carried": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                             gather_dtype=gd),
+        "legacy": lambda st, n: jit_legacy(st, ell_u, ell_i, n, hp=hp,
+                                           gather_dtype=gd),
+        "user_only": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                               phi_sums_fn=user_only_fn,
+                                               gather_dtype=gd),
+        "tables_only": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                                 phi_sums_fn=tables_only_fn,
+                                                 gather_dtype=gd),
     }
-    del jit_kw
+    names = os.environ.get("MEASURE_VARIANTS", "carried,legacy").split(",")
+    runners = {n_: all_runners[n_] for n_ in names}
 
     budget = float(os.environ.get("HPFREC_TPU_DISPATCH_BUDGET_S", "30"))
     caps = {}
@@ -103,17 +131,18 @@ def main():
         assert np.isfinite(checksum)
         return time.perf_counter() - t0, checksum
 
-    # trajectory identity check: same checksum after `iters` iterations
-    _, c_new = timed("carried", 4)
-    _, c_old = timed("legacy", 4)
-    rel = abs(c_new - c_old) / abs(c_old)
-    print("# checksum carried=%.10g legacy=%.10g rel=%.2e"
-          % (c_new, c_old, rel), file=sys.stderr)
+    # trajectory identity check: same checksum after a few iterations
+    if {"carried", "legacy"} <= set(runners):
+        _, c_new = timed("carried", 4)
+        _, c_old = timed("legacy", 4)
+        rel = abs(c_new - c_old) / max(abs(c_old), 1e-30)
+        print("# checksum carried=%.10g legacy=%.10g rel=%.2e"
+              % (c_new, c_old, rel), file=sys.stderr)
 
+    order = list(runners)
     results = {name: [] for name in runners}
     for r in range(repeats):
-        for name in (("carried", "legacy") if r % 2 == 0
-                     else ("legacy", "carried")):
+        for name in order[r % len(order):] + order[:r % len(order)]:
             ts, _ = timed(name, 2)
             tb, _ = timed(name, 2 + iters)
             results[name].append((tb - ts) / iters)
