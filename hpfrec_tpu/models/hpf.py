@@ -920,8 +920,16 @@ class HPF:
                     return (fn_u if side == "user" else fn_i)(
                         t_self, t_other, layout)
             else:
-                ell_u = device_ell(ell_u)
-                ell_i = device_ell(ell_i)
+                with self._stats_phase("transfer"):
+                    ell_u = device_ell(ell_u)
+                    ell_i = device_ell(ell_i)
+                    # force materialization so the transfer cost lands in
+                    # this phase, not in the first dispatch (reading one
+                    # element blocks on the whole buffer; block_until_ready
+                    # acknowledges early in this environment)
+                    for lay in (ell_u, ell_i):
+                        for b in lay.buckets:
+                            float(b.vals[0, 0])
                 phi_sums_fn = None
 
             # reuse the user-side layout for train llk/rmse checks: its
@@ -1029,6 +1037,13 @@ class HPF:
             state = pad_state(state, *self._table_shard_pad)
             if self._table_shard_perm is not None:
                 state = permute_state(state, *self._table_shard_perm)
+        else:
+            import jax.numpy as jnp
+
+            with self._stats_phase("transfer"):
+                state = VariationalState(*[jnp.asarray(a) for a in state])
+                for a in state:
+                    float(a[0, 0])  # land the state upload in this phase
         self._last_llk = 0.0
         self._last_rmse = 0.0
         self._last_check_it = None

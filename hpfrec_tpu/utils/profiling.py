@@ -78,8 +78,12 @@ class FitStats:
     - ``valset``         validation-set mapping + device buffers
     - ``host_pack``      CSR builds + ELL packing + in-row sort (the two
       sides run in parallel threads; this is the span, not the CPU sum)
-    - ``compile_and_warmup``  first dispatch: jit compile, initial
-      transfers (async transfers complete inside it), first iteration
+    - ``transfer``       host->device upload of the packed layouts and
+      the initial state (forced to completion; in this environment the
+      relay makes this minutes at catalog scale — on a directly-attached
+      TPU it is PCIe/DMA-speed)
+    - ``compile_and_warmup``  first dispatch: jit compile (or persistent
+      cache load), remaining transfers, first iteration
     - ``device``         all further optimization dispatches
     - ``metric_checks``  convergence evaluations + the final metric
 
