@@ -923,13 +923,20 @@ class HPF:
                 with self._stats_phase("transfer"):
                     ell_u = device_ell(ell_u)
                     ell_i = device_ell(ell_i)
-                    # force materialization so the transfer cost lands in
-                    # this phase, not in the first dispatch (reading one
-                    # element blocks on the whole buffer; block_until_ready
-                    # acknowledges early in this environment)
-                    for lay in (ell_u, ell_i):
-                        for b in lay.buckets:
-                            float(b.vals[0, 0])
+                    # Transfers are enqueued async here and normally
+                    # overlap the first dispatch's compile (measured: a
+                    # cold 183 s catalog-scale compile hides the ~136 s
+                    # relay upload entirely).  HPFREC_TPU_PROFILE_TRANSFERS
+                    # =1 forces materialization instead so the upload cost
+                    # lands in THIS phase for attribution runs (reading one
+                    # element blocks on the whole buffer;
+                    # block_until_ready acknowledges early here) — that
+                    # serializes transfer before compile, costing wall
+                    # time, so it is opt-in.
+                    if os.environ.get("HPFREC_TPU_PROFILE_TRANSFERS") == "1":
+                        for lay in (ell_u, ell_i):
+                            for b in lay.buckets:
+                                float(b.vals[0, 0])
                 phi_sums_fn = None
 
             # reuse the user-side layout for train llk/rmse checks: its
@@ -1042,8 +1049,9 @@ class HPF:
 
             with self._stats_phase("transfer"):
                 state = VariationalState(*[jnp.asarray(a) for a in state])
-                for a in state:
-                    float(a[0, 0])  # land the state upload in this phase
+                if os.environ.get("HPFREC_TPU_PROFILE_TRANSFERS") == "1":
+                    for a in state:
+                        float(a[0, 0])  # land the upload in this phase
         self._last_llk = 0.0
         self._last_rmse = 0.0
         self._last_check_it = None
@@ -1834,6 +1842,31 @@ class HPF:
         rec = np.argpartition(allpreds, n - 1)[:n]
         return items_pool[rec[np.argsort(allpreds[rec])]]
 
+    def _beta_device(self):
+        """Device-resident ``Beta`` for batch serving, cached across calls.
+
+        Re-uploading the (nI, k) table dominated ``topN_batch`` latency in
+        this environment (75 MB through the relay: measured 5.8 ms/user at
+        b=1024 vs ~1 ms with the table staged).  Invalidation: identity /
+        shape / dtype plus a 1024-element strided fingerprint — every
+        library path REASSIGNS ``Beta`` (fit, partial_fit, add_user), so
+        those always invalidate; a user editing a few elements in place
+        may evade the fingerprint (the arrays are user-mutable for
+        reference parity) — reassign the attribute to force a re-upload.
+        """
+        import jax.numpy as jnp
+
+        B = self.Beta
+        arr = np.asarray(B)
+        sample = arr.ravel()[:: max(1, arr.size // 1024)][:1024]
+        key = (id(B), arr.shape, str(arr.dtype), sample.tobytes())
+        cached = getattr(self, "_beta_dev_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        dev = jnp.asarray(arr)
+        self._beta_dev_cache = (key, dev)
+        return dev
+
     def topN_batch(self, users, n=10, exclude_seen=True):
         """Top-N for MANY users in one call — scores the whole batch as a
         single (b, k) x (k, nI) device matmul + ``lax.top_k`` (no reference
@@ -1852,13 +1885,14 @@ class HPF:
             rows = users.astype(np.int64)
         if exclude_seen and not self.keep_data:
             raise Exception("Can only exclude seen items when passing 'keep_data=True' to .fit")
+        Beta_dev = self._beta_device()  # jnp.asarray below is then a no-op
         if exclude_seen:
-            idx = topn_batch(self.Theta, self.Beta, rows, n,
+            idx = topn_batch(self.Theta, Beta_dev, rows, n,
                              seen_indptr=self._st_ix_user,
                              seen_indices=self.seen,
                              n_seen=self._n_seen_by_user)
         else:
-            idx = topn_batch(self.Theta, self.Beta, rows, n)
+            idx = topn_batch(self.Theta, Beta_dev, rows, n)
         if self.reindex:
             return self.item_mapping_[idx]
         return idx

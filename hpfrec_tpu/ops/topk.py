@@ -111,7 +111,10 @@ def topn_batch(Theta, Beta, users, n, seen_indptr=None, seen_indices=None,
                 # earlier version scored the whole batch against the whole
                 # catalog here ((b, nI) — ~6 GB at b=4096 x 377K items), so
                 # one pathological user made every batch member pay.
-                s_seen = np.asarray(Theta[users[j]]) @ np.asarray(Beta)[seen].T
+                # Index BEFORE np.asarray: Beta may be a device-resident
+                # array (HPF._beta_device) and converting it whole would
+                # pull the full table to host.
+                s_seen = np.asarray(Theta[users[j]]) @ np.asarray(Beta[seen]).T
                 order = seen[np.argsort(-s_seen, kind="stable")]
                 fill = np.concatenate([fill, order])
             idx[j] = fill[:k_eff]

@@ -79,11 +79,15 @@ class FitStats:
     - ``host_pack``      CSR builds + ELL packing + in-row sort (the two
       sides run in parallel threads; this is the span, not the CPU sum)
     - ``transfer``       host->device upload of the packed layouts and
-      the initial state (forced to completion; in this environment the
-      relay makes this minutes at catalog scale — on a directly-attached
-      TPU it is PCIe/DMA-speed)
+      the initial state.  By default uploads are enqueued async and
+      overlap the first dispatch's compile, so this phase records only
+      the enqueue and the wait shows up under ``compile_and_warmup``;
+      set ``HPFREC_TPU_PROFILE_TRANSFERS=1`` to force materialization
+      here for attribution (measured at catalog scale through this
+      environment's relay: ~136 s for ~1 GB — PCIe-speed on a
+      directly-attached TPU)
     - ``compile_and_warmup``  first dispatch: jit compile (or persistent
-      cache load), remaining transfers, first iteration
+      cache load), any in-flight transfers, first iteration
     - ``device``         all further optimization dispatches
     - ``metric_checks``  convergence evaluations + the final metric
 

@@ -40,6 +40,23 @@ def test_topn_batch_no_exclusion(fitted):
         np.testing.assert_array_equal(np.sort(batch[j]), np.sort(single))
 
 
+def test_topn_batch_beta_device_cache(fitted):
+    """The (nI, k) table is staged on device once and reused across
+    calls; reassigning Beta invalidates (the contract every library
+    mutation path satisfies)."""
+    m, df = fitted
+    users = np.unique(df["UserId"].to_numpy())[:8]
+    a = m.topN_batch(users, n=5)
+    staged = m._beta_dev_cache[1]
+    b = m.topN_batch(users, n=5)
+    assert m._beta_dev_cache[1] is staged  # reused, not re-uploaded
+    np.testing.assert_array_equal(a, b)
+    m.Beta = m.Beta.copy()  # reassignment -> new identity -> re-upload
+    c = m.topN_batch(users, n=5)
+    assert m._beta_dev_cache[1] is not staged
+    np.testing.assert_array_equal(a, c)
+
+
 def test_topn_batch_unknown_user(fitted):
     m, _ = fitted
     with pytest.raises(ValueError):
