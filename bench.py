@@ -54,6 +54,33 @@ def synth_powerlaw(nU, nI, nnz, seed=0, dtype=np.float32):
     return y, iu, ii
 
 
+def warm_and_calibrate(runner, state, budget):
+    """Compile+warm ``runner`` with one 2-iteration dispatch, then time two
+    compile-free single iterations (forced readback) and return the
+    iterations-per-dispatch cap from the shared noise-robust rule
+    (``hpf._dispatch_cap_from_samples``: max of samples + 1.5x margin).
+
+    Shared by ``bench.py`` and ``scripts/measure_step_variants.py``; the
+    in-fit twin is ``HPF._capped_runner``, which interleaves the same
+    protocol with its first real iterations (it cannot afford separate
+    warm-up iterations, so the loops differ — the RULE is shared)."""
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.hpf import _dispatch_cap_from_samples
+
+    st = runner(state, jnp.asarray(2, jnp.int32))
+    float(jnp.sum(st.k_rte))  # compile + warm
+    if budget <= 0:
+        return 10 ** 9
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        st = runner(st, jnp.asarray(1, jnp.int32))
+        float(jnp.sum(st.k_rte))
+        samples.append(max(time.perf_counter() - t0, 1e-6))
+    return _dispatch_cap_from_samples(samples, budget)
+
+
 SCALES = {
     # headline: the reference's own MillionSong TasteProfile shape
     # (notebook cell 10: 1,019,318 users x 376,768 items, 38.7M train
@@ -95,6 +122,7 @@ def main():
     prep = lambda st: st  # noqa: E731 — engine-space transform (table mode)
 
     slots_per_iter = None  # both E-step sides' gather slots (None: COO)
+    table_ndev = 1  # devices executing in parallel (table engine only)
     if engine == "table":
         # the model-parallel engine on a mesh over the available devices
         # (on the single bench chip the ppermute ring degenerates, so this
@@ -108,7 +136,7 @@ def main():
         from hpfrec_tpu.utils.data import build_csr
 
         mesh = make_mesh()
-        ndev = len(mesh.devices.ravel())
+        ndev = table_ndev = len(mesh.devices.ravel())
         gd = gather_table_dtype(max(nU, nI), k,
                                 mode=os.environ.get("BENCH_GATHER_DTYPE", "auto"))
         g_item = 2 if gd is not None else 4
@@ -163,22 +191,10 @@ def main():
     # Calibrate a per-dispatch iteration cap: a single dispatch running
     # >~60 s can crash the TPU worker (RPC watchdog), so long runs are
     # chained as short dispatches (measured overhead <10%, and it biases
-    # the reported throughput DOWN — conservative).  Calibration uses the
-    # shared noise-robust rule (max of 2 samples + 1.5x margin,
-    # hpf._dispatch_cap_from_samples).
-    from hpfrec_tpu.models.hpf import _dispatch_cap_from_samples
-
+    # the reported throughput DOWN — conservative).
     budget = float(os.environ.get("HPFREC_TPU_DISPATCH_BUDGET_S", "30"))
-    st = runner(prep(initialize_state(nU, nI, hp, 123)), jnp.asarray(2, jnp.int32))
-    float(jnp.sum(st.k_rte))  # compile + warm
-    samples = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        st = runner(st, jnp.asarray(1, jnp.int32))
-        float(jnp.sum(st.k_rte))
-        samples.append(max(time.perf_counter() - t0, 1e-6))
-    cap = (_dispatch_cap_from_samples(samples, budget) if budget > 0
-           else 10 ** 9)
+    cap = warm_and_calibrate(runner, prep(initialize_state(nU, nI, hp, 123)),
+                             budget)
 
     def timed(n):
         st = prep(initialize_state(nU, nI, hp, 123))
@@ -214,8 +230,14 @@ def main():
     flags = []
     kept = pairs
     if slots_per_iter is not None:
-        # the ceiling is per chip; all devices gather in parallel
-        sol = SOL_SLOTS_PER_S * max(1, jax.device_count())
+        # The ceiling is per chip.  Only the table engine spreads its
+        # slots over the mesh (its layout_slots already counts every
+        # device's copy of the common frame); the ell/auto engine here is
+        # jitted unsharded on ONE device, so multiplying by device_count
+        # for it would set the floor ndev x too low and wave through
+        # exactly the artifacts this filter exists to drop.
+        n_exec = table_ndev if engine == "table" else 1
+        sol = SOL_SLOTS_PER_S * max(1, n_exec)
         floor_s = slots_per_iter / sol  # fastest possible iteration
         kept = [p for p in pairs if p >= floor_s]
         n_dropped = len(pairs) - len(kept)

@@ -1859,12 +1859,17 @@ class HPF:
         B = self.Beta
         arr = np.asarray(B)
         sample = arr.ravel()[:: max(1, arr.size // 1024)][:1024]
-        key = (id(B), arr.shape, str(arr.dtype), sample.tobytes())
+        key = (arr.shape, str(arr.dtype), sample.tobytes())
         cached = getattr(self, "_beta_dev_cache", None)
-        if cached is not None and cached[0] == key:
+        # identity via a HELD reference (cached[2] is B), never a raw
+        # id(): a freed array's id can be reused by a later object, and
+        # the fingerprint alone misses sparse in-place edits.  Holding B
+        # keeps at most one superseded host table alive until the next
+        # topN_batch refreshes the cache.
+        if cached is not None and cached[2] is B and cached[0] == key:
             return cached[1]
         dev = jnp.asarray(arr)
-        self._beta_dev_cache = (key, dev)
+        self._beta_dev_cache = (key, dev, B)
         return dev
 
     def topN_batch(self, users, n=10, exclude_seen=True):

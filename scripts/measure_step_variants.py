@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import SCALES, synth_powerlaw  # noqa: E402
+from bench import SCALES, synth_powerlaw, warm_and_calibrate  # noqa: E402
 
 
 def main():
@@ -37,7 +37,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from hpfrec_tpu.models.hpf import _dispatch_cap_from_samples
     from hpfrec_tpu.models.state import Hyperparams, initialize_state
     from hpfrec_tpu.ops.ell import (build_ell, cavi_step_ell, device_ell,
                                     gather_table_dtype, layout_slots,
@@ -86,8 +85,19 @@ def main():
                                            "gather_dtype"))
     jit_legacy = jax.jit(legacy_block,
                          static_argnames=("hp", "gather_dtype"))
+    def slots_fn(target):
+        """phi_sums_fn pinning the per-op slot target (A/B of the
+        TARGET_SLOTS fusion-size constant without a code change)."""
+        def fn(t_self, t_other, layout, side="user"):
+            return ell_phi_sums(t_self, t_other, layout,
+                                target_slots=target, side=side)
+        return fn
+
     user_only_fn = partial_sums_fn(True, False)
     tables_only_fn = partial_sums_fn(False, False)
+    slots4m_fn = slots_fn(4 << 20)   # hoisted: a fresh fn per call would
+    slots12m_fn = slots_fn(12 << 20)  # defeat the jit cache (static arg)
+    slots16m_fn = slots_fn(16 << 20)
     all_runners = {
         "carried": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
                                              gather_dtype=gd),
@@ -99,6 +109,15 @@ def main():
         "tables_only": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
                                                  phi_sums_fn=tables_only_fn,
                                                  gather_dtype=gd),
+        "slots4m": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                             phi_sums_fn=slots4m_fn,
+                                             gather_dtype=gd),
+        "slots12m": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                              phi_sums_fn=slots12m_fn,
+                                              gather_dtype=gd),
+        "slots16m": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                              phi_sums_fn=slots16m_fn,
+                                              gather_dtype=gd),
     }
     names = os.environ.get("MEASURE_VARIANTS", "carried,legacy").split(",")
     runners = {n_: all_runners[n_] for n_ in names}
@@ -106,15 +125,8 @@ def main():
     budget = float(os.environ.get("HPFREC_TPU_DISPATCH_BUDGET_S", "30"))
     caps = {}
     for name, run in runners.items():
-        st = run(initialize_state(nU, nI, hp, 123), jnp.asarray(2, jnp.int32))
-        float(jnp.sum(st.k_rte))  # compile + warm
-        samples = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            st = run(st, jnp.asarray(1, jnp.int32))
-            float(jnp.sum(st.k_rte))
-            samples.append(max(time.perf_counter() - t0, 1e-6))
-        caps[name] = _dispatch_cap_from_samples(samples, budget)
+        caps[name] = warm_and_calibrate(
+            run, initialize_state(nU, nI, hp, 123), budget)
         print("# %s compiled; cap=%d iters/dispatch" % (name, caps[name]),
               file=sys.stderr)
 

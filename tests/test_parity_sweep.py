@@ -140,7 +140,12 @@ SWEEP = [
                          SWEEP)
 def test_parity_sweep(shape_kind, k, engine, shard_tables, use_float,
                       force_tile, monkeypatch):
-    seed = abs(hash((shape_kind, k, engine, shard_tables))) % 1000 + 1
+    import zlib
+
+    # stable across processes (hash() is salted per interpreter, which
+    # would make a failing config unreproducible)
+    seed = zlib.crc32(repr((shape_kind, k, engine, shard_tables))
+                      .encode()) % 1000 + 1
     _run_config(shape_kind, k, engine, shard_tables, use_float, seed,
                 force_tile=force_tile, monkeypatch=monkeypatch)
 
