@@ -40,6 +40,35 @@ def test_ell_phi_sums_vs_oracle():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_carried_block_matches_stepwise():
+    """run_cavi_block_ell (carried exp tables + Beta colsum, round 4)
+    must follow the exact trajectory of repeated single steps — the
+    carry holds values each iteration would otherwise re-derive, so the
+    restructure is algebraically inert."""
+    import jax.numpy as jnp
+
+    from hpfrec_tpu.models.state import Hyperparams, initialize_state
+    from hpfrec_tpu.ops.ell import (build_ell, cavi_step_ell, device_ell,
+                                    run_cavi_block_ell)
+
+    nU, nI, k = 90, 70, 6
+    y, iu, ii = synth_counts(nU, nI, nnz=1200, seed=9)
+    hp = Hyperparams(k=k)
+    indptr_u, ind_u, dat_u = _csr(y, iu, ii, nU)
+    indptr_i, ind_i, dat_i = _csr(y, ii, iu, nI)
+    lu = device_ell(build_ell(indptr_u, ind_u, dat_u, nU, max_width=64))
+    li = device_ell(build_ell(indptr_i, ind_i, dat_i, nI, max_width=64))
+
+    blocked = run_cavi_block_ell(initialize_state(nU, nI, hp, 5), lu, li,
+                                 jnp.asarray(7, jnp.int32), hp)
+    stepped = initialize_state(nU, nI, hp, 5)
+    for _ in range(7):
+        stepped = cavi_step_ell(stepped, lu, li, hp)
+    for ours, ref in zip(blocked, stepped):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_sharded_ell_matches_single_device():
     import jax
     import jax.numpy as jnp
