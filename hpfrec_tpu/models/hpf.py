@@ -1191,16 +1191,17 @@ class HPF:
         n_mesh = 1 if mesh is None else len(mesh.devices.ravel())
         svi_phi_fn = self._svi_phi_sums_fn(mesh) if device_epochs else None
         if device_epochs:
-            if use_users:
-                dev_u = (jnp.asarray(data_u.astype(dt, copy=False)),
-                         jnp.asarray(indices_u.astype(np.int32, copy=False)),
-                         jnp.asarray(indptr_u.astype(np.int32, copy=False)))
-                deg_u = (indptr_u[1:] - indptr_u[:-1]).astype(np.int64)
-            if use_items:
-                dev_i = (jnp.asarray(data_i.astype(dt, copy=False)),
-                         jnp.asarray(indices_i.astype(np.int32, copy=False)),
-                         jnp.asarray(indptr_i.astype(np.int32, copy=False)))
-                deg_i = (indptr_i[1:] - indptr_i[:-1]).astype(np.int64)
+            with self._stats_phase("transfer"):
+                if use_users:
+                    dev_u = (jnp.asarray(data_u.astype(dt, copy=False)),
+                             jnp.asarray(indices_u.astype(np.int32, copy=False)),
+                             jnp.asarray(indptr_u.astype(np.int32, copy=False)))
+                    deg_u = (indptr_u[1:] - indptr_u[:-1]).astype(np.int64)
+                if use_items:
+                    dev_i = (jnp.asarray(data_i.astype(dt, copy=False)),
+                             jnp.asarray(indices_i.astype(np.int32, copy=False)),
+                             jnp.asarray(indptr_i.astype(np.int32, copy=False)))
+                    deg_i = (indptr_i[1:] - indptr_i[:-1]).astype(np.int64)
 
         def run_epoch_device(perm_real, dev_arrs, deg, n_rows, batch_rows,
                              nbatches, step, user_side):
@@ -1261,38 +1262,40 @@ class HPF:
             else:
                 user_epoch = False
 
-            if user_epoch:
-                rng.shuffle(users_numeration)
-                if device_epochs:
-                    run_epoch_device(users_numeration, dev_u, deg_u, self.nusers,
-                                     self.users_per_batch, nbatches_u, step, True)
+            with self._stats_phase("device"):
+                if user_epoch:
+                    rng.shuffle(users_numeration)
+                    if device_epochs:
+                        run_epoch_device(users_numeration, dev_u, deg_u, self.nusers,
+                                         self.users_per_batch, nbatches_u, step, True)
+                    else:
+                        for bt in range(nbatches_u):
+                            st_b = bt * self.users_per_batch
+                            end_b = min(self.nusers, (bt + 1) * self.users_per_batch)
+                            rows = users_numeration[st_b:end_b]
+                            mult = float(self.nusers) / float(end_b - st_b)
+                            st_holder[0] = run_batch(rows, indptr_u, indices_u, data_u,
+                                                     self.nusers, self.nitems, mult, step, True)
                 else:
-                    for bt in range(nbatches_u):
-                        st_b = bt * self.users_per_batch
-                        end_b = min(self.nusers, (bt + 1) * self.users_per_batch)
-                        rows = users_numeration[st_b:end_b]
-                        mult = float(self.nusers) / float(end_b - st_b)
-                        st_holder[0] = run_batch(rows, indptr_u, indices_u, data_u,
-                                                 self.nusers, self.nitems, mult, step, True)
-            else:
-                rng.shuffle(items_numeration)
-                if device_epochs:
-                    run_epoch_device(items_numeration, dev_i, deg_i, self.nitems,
-                                     self.items_per_batch, nbatches_i, step, False)
-                else:
-                    for bt in range(nbatches_i):
-                        st_b = bt * self.items_per_batch
-                        end_b = min(self.nitems, (bt + 1) * self.items_per_batch)
-                        rows = items_numeration[st_b:end_b]
-                        mult = float(self.nitems) / float(end_b - st_b)
-                        st_holder[0] = run_batch(rows, indptr_i, indices_i, data_i,
-                                                 self.nitems, self.nusers, mult, step, False)
+                    rng.shuffle(items_numeration)
+                    if device_epochs:
+                        run_epoch_device(items_numeration, dev_i, deg_i, self.nitems,
+                                         self.items_per_batch, nbatches_i, step, False)
+                    else:
+                        for bt in range(nbatches_i):
+                            st_b = bt * self.items_per_batch
+                            end_b = min(self.nitems, (bt + 1) * self.items_per_batch)
+                            rows = items_numeration[st_b:end_b]
+                            mult = float(self.nitems) / float(end_b - st_b)
+                            st_holder[0] = run_batch(rows, indptr_i, indices_i, data_i,
+                                                     self.nitems, self.nusers, mult, step, False)
 
             stop = False
             if self.check_every > 0 and ((i + 1) % self.check_every) == 0:
-                stop, last_crit, Theta_prev = self._evaluate_criterion(
-                    st_holder[0], data, nnz, val_data, val_nnz, i + 1,
-                    last_crit, Theta_prev)
+                with self._stats_phase("metric_checks"):
+                    stop, last_crit, Theta_prev = self._evaluate_criterion(
+                        st_holder[0], data, nnz, val_data, val_nnz, i + 1,
+                        last_crit, Theta_prev)
             xa = {}
             if users_numeration is not None:
                 xa["users_numeration"] = users_numeration

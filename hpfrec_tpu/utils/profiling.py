@@ -92,7 +92,10 @@ class FitStats:
     - ``metric_checks``  convergence evaluations + the final metric
 
     ``wall_seconds - sum(phases.values())`` is unattributed glue (id
-    dicts, checkpoint writes, Python overhead)."""
+    dicts, checkpoint writes, Python overhead).  SVI fits reuse the same
+    names with epoch granularity: each epoch's dispatch loop lands in
+    ``device`` (first-epoch compiles included — SVI has no separate
+    warm-up dispatch), CSR staging in ``transfer``."""
 
     nnz: int = 0
     iterations: int = 0

@@ -120,18 +120,45 @@ def main():
                                               gather_dtype=gd),
     }
     names = os.environ.get("MEASURE_VARIANTS", "carried,legacy").split(",")
+    preps = {}
+    if "table" in names:
+        # the model-parallel ring engine (same carried-tables step since
+        # round 4), for same-session engine-ratio measurements; on one
+        # chip the ring degenerates and this isolates the per-device
+        # compute path (PERFORMANCE.md "table-sharded row balancing")
+        from hpfrec_tpu.parallel import make_mesh
+        from hpfrec_tpu.parallel.table_sharded import (
+            make_table_sharded_step, pad_state, permute_state,
+            prepare_table_sharded)
+
+        mesh = make_mesh()
+        ndev = len(mesh.devices.ravel())
+        se_u, se_i, plan_u, plan_i, perm_u, perm_i = prepare_table_sharded(
+            indptr_u, ind_u, dat_u, indptr_i, ind_i, dat_i, nU, nI, k,
+            ndev, 2 if gd is not None else 4)
+        t_step = make_table_sharded_step(mesh, se_u, se_i, hp, nU, nI,
+                                         gather_dtype=gd,
+                                         row_ids_u=perm_u, row_ids_i=perm_i)
+        nU_p, nI_p = plan_u[0], plan_i[0]
+        all_runners["table"] = t_step
+        # one-time move into the padded+permuted engine space per run —
+        # NOT per dispatch (re-permuting an already-permuted state would
+        # scramble it)
+        preps["table"] = lambda st: permute_state(
+            pad_state(st, nU_p, nI_p), perm_u, perm_i)
     runners = {n_: all_runners[n_] for n_ in names}
 
     budget = float(os.environ.get("HPFREC_TPU_DISPATCH_BUDGET_S", "30"))
     caps = {}
     for name, run in runners.items():
+        prep = preps.get(name, lambda s: s)
         caps[name] = warm_and_calibrate(
-            run, initialize_state(nU, nI, hp, 123), budget)
+            run, prep(initialize_state(nU, nI, hp, 123)), budget)
         print("# %s compiled; cap=%d iters/dispatch" % (name, caps[name]),
               file=sys.stderr)
 
     def timed(name, n):
-        st = initialize_state(nU, nI, hp, 123)
+        st = preps.get(name, lambda s: s)(initialize_state(nU, nI, hp, 123))
         run, cap = runners[name], caps[name]
         t0 = time.perf_counter()
         done = 0
