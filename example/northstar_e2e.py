@@ -21,6 +21,11 @@ import time
 
 import numpy as np
 
+# this script exists to ATTRIBUTE the wall time, so force the transfer
+# phase to materialize separately from compile (costs some wall vs the
+# default async overlap; see utils/profiling.FitStats)
+os.environ.setdefault("HPFREC_TPU_PROFILE_TRANSFERS", "1")
+
 
 def synth_tasteprofile(nU=1_019_318, nI=376_768, n_rows=48_373_586, seed=0):
     """Zipf-item triplets at the notebook's pre-split row count."""
