@@ -455,6 +455,23 @@ class HPF:
             self._cached_svi_phi_fn_mesh = mesh
         return self._cached_svi_phi_fn
 
+    _STATE_ATTRS = ("Gamma_shp", "Gamma_rte", "Lambda_shp", "Lambda_rte",
+                    "k_rte", "t_rte")
+
+    def _state_fingerprint(self):
+        """Identity + shape/dtype + strided-sample fingerprint of the six
+        host state arrays, for the device-state cache.  None when any is
+        missing (keep_all_objs=False)."""
+        parts = []
+        for name in self._STATE_ATTRS:
+            a = getattr(self, name, None)
+            if a is None:
+                return None
+            arr = np.asarray(a)
+            sample = arr.ravel()[:: max(1, arr.size // 256)][:256]
+            parts.append((id(a), arr.shape, str(arr.dtype), sample.tobytes()))
+        return tuple(parts)
+
     def _state_to_host(self, state: VariationalState):
         """Pull the fitted variational parameters back to host numpy; these
         attributes (same names as the reference) are the source of truth
@@ -470,11 +487,33 @@ class HPF:
             self.Lambda_rte = np.array(state.L_rte)
             self.k_rte = np.array(state.k_rte)
             self.t_rte = np.array(state.t_rte)
+            # remember the device arrays these host copies came from so the
+            # next _state_from_host can skip the upload (see below)
+            self._dev_state_cache = (self._state_fingerprint(), state)
+        else:
+            self._dev_state_cache = None
 
     def _state_from_host(self) -> VariationalState:
+        """Device state from the host attributes.
+
+        Caches the device arrays across calls, keyed on identity + a
+        strided fingerprint of the six host arrays: repeated
+        ``partial_fit``/``add_user`` calls otherwise re-upload the whole
+        state every time (~500 MB at catalog scale through this
+        environment's relay — measured 26-114 s per call before this and
+        the bucketed-mask fix).  Library mutation paths either reassign
+        the attributes (invalidating by identity) or explicitly clear the
+        cache (add_user's in-place row update); a user editing a few
+        elements in place may evade the fingerprint — reassign the
+        attribute to force a re-upload, same contract as ``_beta_device``.
+        """
         import jax.numpy as jnp
 
-        return VariationalState(
+        fp = self._state_fingerprint()
+        cached = getattr(self, "_dev_state_cache", None)
+        if cached is not None and fp is not None and cached[0] == fp:
+            return cached[1]
+        state = VariationalState(
             G_shp=jnp.asarray(self.Gamma_shp),
             G_rte=jnp.asarray(self.Gamma_rte),
             L_shp=jnp.asarray(self.Lambda_shp),
@@ -482,6 +521,9 @@ class HPF:
             k_rte=jnp.asarray(self.k_rte),
             t_rte=jnp.asarray(self.t_rte),
         )
+        if fp is not None:
+            self._dev_state_cache = (fp, state)
+        return state
 
     def _blocked_device_data(self, y, iu, ii, mesh):
         import jax.numpy as jnp
@@ -1394,7 +1436,7 @@ class HPF:
         the model's mesh (tables replicated)."""
         import jax.numpy as jnp
 
-        from ..ops.svi import build_row_mask, svi_batch_update
+        from ..ops.svi import svi_batch_update
 
         if self.reindex:
             raise ValueError("'partial_fit' can only be called when using reindex=False.")
@@ -1519,6 +1561,11 @@ class HPF:
         multiplier_batch = float(nusers) / users_in_batch.shape[0]
 
         state = self._state_from_host()
+        # svi_batch_update DONATES its state: the cached device buffers are
+        # consumed by this call, so drop the cache now (repopulated from
+        # the result by _state_to_host below); leaving it would hand out
+        # deleted buffers if anything raises in between
+        self._dev_state_cache = None
         # the batch's phi segment sums shard over the mesh like in-fit SVI
         # (round-2 verdict item 8: online updates follow the SPMD story);
         # the padded buffer must then split evenly over the devices
@@ -1530,8 +1577,24 @@ class HPF:
         y_p = np.zeros(P, dtype=dt); y_p[:len(Y_batch)] = Y_batch
         iu_p = np.zeros(P, dtype=np.int32); iu_p[:len(Y_batch)] = ix_u_batch
         ii_p = np.zeros(P, dtype=np.int32); ii_p[:len(Y_batch)] = ix_i_batch
-        umask = build_row_mask(self.nusers, jnp.asarray(users_in_batch.astype(np.int32)))
-        imask = build_row_mask(self.nitems, jnp.asarray(items_in_batch.astype(np.int32)))
+        # Bucket the mask row lists to pow2 (padding repeats the first real
+        # row; duplicate set-True scatters are harmless) and use the JITTED
+        # mask builder: the unique-row count differs on every call, and an
+        # unbucketed eager build compiled a fresh 1M-row scatter program
+        # per call at catalog scale (measured: repeated partial_fit calls
+        # cost 26-114 s each, dominated by per-call remote compiles).
+        from ..ops.svi import _build_row_mask_jit
+
+        def _bucketed_rows(rows):
+            m = len(rows)
+            Pr = data_utils._next_pow2(max(m, 256))
+            out = np.empty(Pr, dtype=np.int32)
+            out[:m] = rows
+            out[m:] = rows[0] if m else 0
+            return jnp.asarray(out)
+
+        umask = _build_row_mask_jit(self.nusers, _bucketed_rows(users_in_batch))
+        imask = _build_row_mask_jit(self.nitems, _bucketed_rows(items_in_batch))
         state = svi_batch_update(
             state, jnp.asarray(y_p), jnp.asarray(iu_p), jnp.asarray(ii_p),
             umask, imask, jnp.asarray(step_size, dtype=dt),
@@ -1695,6 +1758,10 @@ class HPF:
                     self.Gamma_shp[user_id] = G_shp
                     self.Gamma_rte[user_id] = G_rte
                     self.k_rte[user_id] = new_k_rte
+                    # in-place row edits keep array identity and can evade
+                    # the strided fingerprint — drop the device-state
+                    # cache explicitly
+                    self._dev_state_cache = None
             else:
                 if self.reindex:
                     new_id = self.user_mapping_.shape[0]
