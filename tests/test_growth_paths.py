@@ -175,3 +175,38 @@ def test_partial_fit_shards_over_mesh_matches_single_device():
 
     np.testing.assert_allclose(m_mesh.Theta, m_single.Theta, rtol=1e-5)
     np.testing.assert_allclose(m_mesh.Beta, m_single.Beta, rtol=1e-5)
+
+
+def test_partial_fit_device_state_cache():
+    """Repeated partial_fit reuses the device-resident state (no host
+    re-upload) and every mutation path invalidates correctly: the
+    results must be identical to a cache-free run, and add_user's
+    in-place row edit must drop the cache explicitly."""
+    df = _make_df(40, 30, 500, seed=2)
+    m = _base_model(keep_data=True)
+    m.fit(df)
+    assert m._dev_state_cache is not None  # populated by fit
+
+    batch = _make_df(40, 30, 120, seed=5)
+    m.partial_fit(batch)
+    cached_after_1 = m._dev_state_cache
+    assert cached_after_1 is not None
+    # untouched attrs -> the next call must REUSE the cached device state
+    assert m._state_from_host() is cached_after_1[1]
+
+    # reference run without any cache: same arithmetic
+    m2 = _base_model(keep_data=True)
+    m2.fit(df)
+    m2._dev_state_cache = None
+    m2.partial_fit(_make_df(40, 30, 120, seed=5))
+    np.testing.assert_allclose(m.Gamma_shp, m2.Gamma_shp, rtol=1e-6)
+    np.testing.assert_allclose(m.t_rte, m2.t_rte, rtol=1e-6)
+
+    # user reassignment invalidates (identity change)
+    m.Gamma_shp = m.Gamma_shp.copy()
+    assert m._state_from_host() is not cached_after_1[1]
+
+    # add_user's in-place row edit clears the cache explicitly
+    hist = pd.DataFrame({"ItemId": np.arange(5), "Count": np.ones(5)})
+    m.add_user(user_id=3, counts_df=hist, update_existing=True)
+    assert m._dev_state_cache is None
