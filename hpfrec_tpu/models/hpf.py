@@ -459,9 +459,11 @@ class HPF:
                     "k_rte", "t_rte")
 
     def _state_fingerprint(self):
-        """Identity + shape/dtype + strided-sample fingerprint of the six
-        host state arrays, for the device-state cache.  None when any is
-        missing (keep_all_objs=False)."""
+        """Shape/dtype + strided-sample fingerprint of the six host state
+        arrays, for the device-state cache.  None when any is missing
+        (keep_all_objs=False).  Object identity is checked separately via
+        HELD references in the cache tuple — never raw id(), which a
+        freed array's reused address could collide with."""
         parts = []
         for name in self._STATE_ATTRS:
             a = getattr(self, name, None)
@@ -469,8 +471,11 @@ class HPF:
                 return None
             arr = np.asarray(a)
             sample = arr.ravel()[:: max(1, arr.size // 256)][:256]
-            parts.append((id(a), arr.shape, str(arr.dtype), sample.tobytes()))
+            parts.append((arr.shape, str(arr.dtype), sample.tobytes()))
         return tuple(parts)
+
+    def _state_refs(self):
+        return tuple(getattr(self, name, None) for name in self._STATE_ATTRS)
 
     def _state_to_host(self, state: VariationalState):
         """Pull the fitted variational parameters back to host numpy; these
@@ -488,8 +493,11 @@ class HPF:
             self.k_rte = np.array(state.k_rte)
             self.t_rte = np.array(state.t_rte)
             # remember the device arrays these host copies came from so the
-            # next _state_from_host can skip the upload (see below)
-            self._dev_state_cache = (self._state_fingerprint(), state)
+            # next _state_from_host can skip the upload (see below); the
+            # held host references pin identity (id() reuse is impossible
+            # while the tuple holds them)
+            self._dev_state_cache = (self._state_fingerprint(), state,
+                                     self._state_refs())
         else:
             self._dev_state_cache = None
 
@@ -511,7 +519,9 @@ class HPF:
 
         fp = self._state_fingerprint()
         cached = getattr(self, "_dev_state_cache", None)
-        if cached is not None and fp is not None and cached[0] == fp:
+        if (cached is not None and fp is not None and cached[0] == fp
+                and all(c is r for c, r in zip(cached[2],
+                                               self._state_refs()))):
             return cached[1]
         state = VariationalState(
             G_shp=jnp.asarray(self.Gamma_shp),
@@ -522,7 +532,7 @@ class HPF:
             t_rte=jnp.asarray(self.t_rte),
         )
         if fp is not None:
-            self._dev_state_cache = (fp, state)
+            self._dev_state_cache = (fp, state, self._state_refs())
         return state
 
     def _blocked_device_data(self, y, iu, ii, mesh):
@@ -1585,16 +1595,21 @@ class HPF:
         # cost 26-114 s each, dominated by per-call remote compiles).
         from ..ops.svi import _build_row_mask_jit
 
-        def _bucketed_rows(rows):
+        def _bucketed_mask(n_rows, rows):
             m = len(rows)
+            if m == 0:
+                # a caller-supplied EMPTY batch list must blend nothing —
+                # padding with row 0 would silently reset that row's shape
+                # to the prior and blend it
+                return jnp.zeros((n_rows, 1), dtype=bool)
             Pr = data_utils._next_pow2(max(m, 256))
             out = np.empty(Pr, dtype=np.int32)
             out[:m] = rows
-            out[m:] = rows[0] if m else 0
-            return jnp.asarray(out)
+            out[m:] = rows[0]
+            return _build_row_mask_jit(n_rows, jnp.asarray(out))
 
-        umask = _build_row_mask_jit(self.nusers, _bucketed_rows(users_in_batch))
-        imask = _build_row_mask_jit(self.nitems, _bucketed_rows(items_in_batch))
+        umask = _bucketed_mask(self.nusers, users_in_batch)
+        imask = _bucketed_mask(self.nitems, items_in_batch)
         state = svi_batch_update(
             state, jnp.asarray(y_p), jnp.asarray(iu_p), jnp.asarray(ii_p),
             umask, imask, jnp.asarray(step_size, dtype=dt),

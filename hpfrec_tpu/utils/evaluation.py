@@ -157,9 +157,14 @@ def ranking_metrics(model, test_df, k: int = 10, exclude_seen: bool = True,
     ideal = np.cumsum(disc)
     recall_sum = 0.0
     ndcg_sum = 0.0
+    # stage the (nI, k) table on device ONCE via the model's serving
+    # cache — passing host Beta here re-uploaded the full table on every
+    # chunk (~75 MB x n_chunks at catalog scale)
+    Beta_dev = (model._beta_device() if hasattr(model, "_beta_device")
+                else model.Beta)
     for st in range(0, len(test_users), user_chunk):
         batch = test_users[st:st + user_chunk]
-        top = topn_batch(model.Theta, model.Beta, batch, k,
+        top = topn_batch(model.Theta, Beta_dev, batch, k,
                          seen_indptr=seen_args[0], seen_indices=seen_args[1],
                          n_seen=seen_args[2])
         for j, u in enumerate(batch):

@@ -166,3 +166,37 @@ def test_user_factors_matches_oracle_loop():
 
     np.testing.assert_allclose(np.asarray(Theta), Th, rtol=1e-9)
     assert int(i) == niter
+
+
+def test_partial_fit_empty_items_in_batch_blends_nothing():
+    """A caller-supplied EMPTY items_in_batch must blend no item rows
+    (oracle: items_b = []).  Regression for the round-4 mask bucketing,
+    whose padding could otherwise mark row 0 as in-batch."""
+    import pandas as pd
+
+    from hpfrec_tpu import HPF
+
+    dtype = np.float64
+    nU, nI, k, seed = 40, 30, 5, 7
+    y, iu, ii = synth_counts(nU, nI, nnz=500, seed=4, dtype=dtype)
+    oracle = OracleHPF(0.3, 0.3, 1.0, 0.3, 0.3, 1.0, k).init(nU, nI, seed, dtype)
+
+    model = HPF(k=k, use_float=False, reindex=False, verbose=False,
+                random_seed=seed, keep_data=False)
+    df = pd.DataFrame({"UserId": iu, "ItemId": ii, "Count": y})
+    rows = np.unique(iu)[:8]
+    sel = np.isin(iu, rows)
+    batch = df.loc[sel]
+
+    model.partial_fit(batch, batch_type="users", step_size=0.5,
+                      nusers=nU, nitems=nI,
+                      items_in_batch=np.array([], dtype=np.int64))
+
+    mult = float(nU) / len(rows)
+    oracle.svi_user_batch(y[sel], iu[sel], ii[sel], rows,
+                          np.array([], dtype=np.int64), 0.5, mult,
+                          blend_all_scalers=True)
+
+    np.testing.assert_allclose(model.Lambda_shp, oracle.L_shp, rtol=1e-10)
+    np.testing.assert_allclose(model.Lambda_rte, oracle.L_rte, rtol=1e-10)
+    np.testing.assert_allclose(model.Gamma_shp, oracle.G_shp, rtol=1e-10)
