@@ -412,22 +412,37 @@ def device_ell(layout: EllLayout) -> EllLayout:
     )
 
 
+def _dep_stride(value=None) -> int:
+    """Resolve the barrier stride: every chunk op barriers on the op
+    ``stride`` back, so up to ``stride`` (c, w, k) temporaries
+    (~``TARGET_SLOTS``·4 bytes · k/w each) are live at once and adjacent
+    gathers can overlap.  1 = strict serialization (round-3 behavior).
+    Env default: ``HPFREC_TPU_ELL_DEP_STRIDE``."""
+    import os
+
+    if value is not None:
+        return max(1, int(value))
+    return max(1, int(os.environ.get("HPFREC_TPU_ELL_DEP_STRIDE", "1")))
+
+
 def _bucket_phi_sums(t_self, t_other, rows, cols, vals,
-                     target_slots: int = TARGET_SLOTS, dep=None):
+                     target_slots: int = TARGET_SLOTS, deps=None,
+                     dep_stride: int = 1):
     """Per-segment phi sums for one bucket: (m, k) dense reduction.
 
     phi[r, j, :] = vals[r, j] * (t_self[rows[r]] * t_other[cols[r, j]]) / <t_self[rows[r]], t_other[cols[r, j]]>
-    returns (sum_j phi[r, j, :], dep).
+    returns (sum_j phi[r, j, :], deps).
 
     Large buckets are processed as an UNROLLED sequence of single fused
     ops of ~``target_slots`` slots each: XLA keeps gather+multiply+reduce
     in one fusion at that size (measured 155 M slots/s), while lax.scan
     chunking halves throughput and bigger shots materialize the (m*w, k)
-    temporary.  ``dep`` chains an ``optimization_barrier`` dependency
-    between successive chunks (and, via the caller, buckets) — without it
-    XLA horizontally fuses the independent chunks and plans ALL their
-    (c, w, k) temporaries live at once (observed: a 27 GB allocation at
-    48M-nnz scale).
+    temporary.  ``deps`` is the rolling history of recent chunk outputs
+    (shared across buckets by the caller): each chunk takes an
+    ``optimization_barrier`` on the output ``dep_stride`` ops back, so at
+    most ``dep_stride`` (c, w, k) temporaries are live — without any
+    chain XLA horizontally fuses ALL chunks and plans every temporary
+    live at once (observed: a 27 GB allocation at 48M-nnz scale).
 
     ``t_self``/``t_other`` may arrive in a reduced gather dtype (bfloat16 —
     see :func:`gather_table_dtype`); arithmetic promotes to the
@@ -438,49 +453,55 @@ def _bucket_phi_sums(t_self, t_other, rows, cols, vals,
 
     m, w = cols.shape
     acc_dt = jnp.float32 if t_self.dtype in (jnp.bfloat16, jnp.float32) else t_self.dtype
+    if deps is None:
+        deps = []
 
-    def chunk_sums(rows_c, cols_c, vals_c, dep):
-        if dep is not None:
-            # order this chunk after the previous one so only one (c, w, k)
-            # temporary is ever live
-            rows_c, dep = lax.optimization_barrier((rows_c, dep))
+    def chunk_sums(rows_c, cols_c, vals_c):
+        if len(deps) >= dep_stride:
+            # order this chunk after the op `dep_stride` back so only
+            # that many temporaries are ever live
+            rows_c, _ = lax.optimization_barrier(
+                (rows_c, deps[-dep_stride]))
         # factorized phi: p = t_self[row] * t_other[col]; phi = y * p / sum(p)
         p = (t_self[rows_c].astype(acc_dt)[:, None, :]
              * t_other[cols_c].astype(acc_dt))  # (c, w, k)
         denom = jnp.sum(p, axis=-1)  # (c, w)
         scale = jnp.where(denom > 0, vals_c.astype(acc_dt) / denom, 0.0)
-        return jnp.einsum("cw,cwk->ck", scale, p,
-                          preferred_element_type=acc_dt)
+        out = jnp.einsum("cw,cwk->ck", scale, p,
+                         preferred_element_type=acc_dt)
+        deps.append(out)
+        del deps[:-max(dep_stride, 1)]
+        return out
 
     if m * w <= target_slots:
-        out = chunk_sums(rows, cols, vals, dep)
-        return out, out
+        return chunk_sums(rows, cols, vals), deps
 
     c = max(1, target_slots // w)
     parts = []
     for st in range(0, m, c):
-        out = chunk_sums(rows[st:st + c], cols[st:st + c], vals[st:st + c], dep)
-        dep = out
-        parts.append(out)
-    return jnp.concatenate(parts, axis=0), dep
+        parts.append(chunk_sums(rows[st:st + c], cols[st:st + c],
+                                vals[st:st + c]))
+    return jnp.concatenate(parts, axis=0), deps
 
 
 def all_bucket_sums(t_self, t_other, buckets, col_spans=None,
-                    target_slots: int = TARGET_SLOTS):
+                    target_slots: int = TARGET_SLOTS, dep_stride=None):
     """Concatenated per-segment phi sums over all buckets: (m_total, k).
 
     With ``col_spans``, each tiled bucket gathers from a statically sliced
     chunk of ``t_other`` (the large-table fast path); slices are shared
     across buckets with the same span.  A dependency chain across buckets
-    bounds temporary liveness (see ``_bucket_phi_sums``).
+    bounds temporary liveness to ``dep_stride`` ops (see
+    ``_bucket_phi_sums`` / :func:`_dep_stride`).
     """
     import jax.numpy as jnp
     from jax import lax
 
+    stride = _dep_stride(dep_stride)
     k = t_other.shape[1]
     slices = {}
     parts = []
-    dep = None
+    deps = []
     for j, b in enumerate(buckets):
         span = col_spans[j] if col_spans is not None else None
         if span is None:
@@ -489,8 +510,9 @@ def all_bucket_sums(t_self, t_other, buckets, col_spans=None,
             if span not in slices:
                 slices[span] = lax.slice(t_other, (span[0], 0), (span[1], k))
             tab = slices[span]
-        out, dep = _bucket_phi_sums(t_self, tab, b.rows, b.cols, b.vals,
-                                    target_slots, dep=dep)
+        out, deps = _bucket_phi_sums(t_self, tab, b.rows, b.cols, b.vals,
+                                     target_slots, deps=deps,
+                                     dep_stride=stride)
         parts.append(out)
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
@@ -512,7 +534,8 @@ def segment_table_sums(seg, layout: EllLayout):
 
 
 def ell_phi_sums(t_self, t_other, layout: EllLayout,
-                 target_slots: int = TARGET_SLOTS, side: str = "user"):
+                 target_slots: int = TARGET_SLOTS, side: str = "user",
+                 dep_stride=None):
     """Per-table-row phi sums, shape (n_rows, k).  Scatter-free.
 
     ``side`` ('user' | 'item') names which layout this call is for; the
@@ -524,7 +547,7 @@ def ell_phi_sums(t_self, t_other, layout: EllLayout,
     return segment_table_sums(
         all_bucket_sums(t_self, t_other, layout.buckets,
                         col_spans=layout.col_spans,
-                        target_slots=target_slots),
+                        target_slots=target_slots, dep_stride=dep_stride),
         layout)
 
 

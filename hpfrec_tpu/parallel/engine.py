@@ -79,7 +79,7 @@ def make_sharded_ell_phi_sums(mesh: Mesh, n_buckets: int, col_spans=None):
         k = t_other.shape[1]
         slices = {}
         parts = []
-        dep = None  # chain buckets so temporaries are not all live at once
+        deps = []  # chain buckets so temporaries are not all live at once
         for i, b in enumerate(buckets):
             span = col_spans[i] if col_spans is not None else None
             if span is None:
@@ -89,8 +89,8 @@ def make_sharded_ell_phi_sums(mesh: Mesh, n_buckets: int, col_spans=None):
                     slices[span] = jax.lax.slice(t_other, (span[0], 0),
                                                  (span[1], k))
                 tab = slices[span]
-            out, dep = _bucket_phi_sums(t_self, tab, b.rows, b.cols, b.vals,
-                                        dep=dep)
+            out, deps = _bucket_phi_sums(t_self, tab, b.rows, b.cols, b.vals,
+                                         deps=deps)
             parts.append(jax.lax.all_gather(out, DATA_AXIS, axis=0, tiled=True))
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 

@@ -322,7 +322,7 @@ def _ring_table_sums(t_self_loc, opp_shard, se: ShardedEll, ndev: int):
     per_opp = se.per_opp
     parts = [None] * len(se.buckets)
     buf = opp_shard
-    dep = None
+    deps = []
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
     for o in range(ndev):
         slices = {}
@@ -336,8 +336,8 @@ def _ring_table_sums(t_self_loc, opp_shard, se: ShardedEll, ndev: int):
                 if (lo, hi) not in slices:
                     slices[(lo, hi)] = jax.lax.slice(buf, (lo, 0), (hi, k))
                 tab = slices[(lo, hi)]
-            out, dep = _bucket_phi_sums(t_self_loc, tab, b.rows, b.cols,
-                                        b.vals, dep=dep)
+            out, deps = _bucket_phi_sums(t_self_loc, tab, b.rows, b.cols,
+                                         b.vals, deps=deps)
             parts[j] = out
         if o < ndev - 1:
             buf = jax.lax.ppermute(buf, DATA_AXIS, perm)

@@ -93,8 +93,18 @@ def main():
                                 target_slots=target, side=side)
         return fn
 
+    def stride_fn(stride):
+        """phi_sums_fn pinning the barrier dep-stride (how many chunk ops
+        may overlap; 1 = round-3 strict serialization)."""
+        def fn(t_self, t_other, layout, side="user"):
+            return ell_phi_sums(t_self, t_other, layout, side=side,
+                                dep_stride=stride)
+        return fn
+
     user_only_fn = partial_sums_fn(True, False)
     tables_only_fn = partial_sums_fn(False, False)
+    stride2_fn = stride_fn(2)
+    stride4_fn = stride_fn(4)
     slots4m_fn = slots_fn(4 << 20)   # hoisted: a fresh fn per call would
     slots12m_fn = slots_fn(12 << 20)  # defeat the jit cache (static arg)
     slots16m_fn = slots_fn(16 << 20)
@@ -118,6 +128,12 @@ def main():
         "slots16m": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
                                               phi_sums_fn=slots16m_fn,
                                               gather_dtype=gd),
+        "stride2": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                             phi_sums_fn=stride2_fn,
+                                             gather_dtype=gd),
+        "stride4": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                             phi_sums_fn=stride4_fn,
+                                             gather_dtype=gd),
     }
     names = os.environ.get("MEASURE_VARIANTS", "carried,legacy").split(",")
     preps = {}
