@@ -415,14 +415,24 @@ def device_ell(layout: EllLayout) -> EllLayout:
 def _dep_stride(value=None) -> int:
     """Resolve the barrier stride: every chunk op barriers on the op
     ``stride`` back, so up to ``stride`` (c, w, k) temporaries
-    (~``TARGET_SLOTS``·4 bytes · k/w each) are live at once and adjacent
-    gathers can overlap.  1 = strict serialization (round-3 behavior).
-    Env default: ``HPFREC_TPU_ELL_DEP_STRIDE``."""
+    (~``TARGET_SLOTS`` · k · acc-itemsize bytes each, ~1.6 GB at k=50
+    f32) are live at once and adjacent gathers can overlap.
+
+    Default 2 (round-4, measured): the strict stride-1 chain serialized
+    every op boundary; letting TWO ops overlap measured 8-19% faster at
+    the MillionSong shape in three independent sessions (pooled
+    credible-pair medians 0.596 vs 0.680 s/iter — the only same-session
+    knob that won every session it was measured in).  Stride 4 measured
+    WORSE (0.82 s/iter), and 16M-slot ops OOM — liveness costs kick in
+    fast, so the default stays at the smallest winning stride.  1 restores
+    the round-3 strict chain (env ``HPFREC_TPU_ELL_DEP_STRIDE`` or the
+    ``dep_stride`` parameter) — use it when HBM is tight (f64 states
+    double the temp bytes)."""
     import os
 
     if value is not None:
         return max(1, int(value))
-    return max(1, int(os.environ.get("HPFREC_TPU_ELL_DEP_STRIDE", "1")))
+    return max(1, int(os.environ.get("HPFREC_TPU_ELL_DEP_STRIDE", "2")))
 
 
 def _bucket_phi_sums(t_self, t_other, rows, cols, vals,

@@ -73,7 +73,9 @@ def make_sharded_ell_phi_sums(mesh: Mesh, n_buckets: int, col_spans=None):
     from ..ops.ell import EllBucket, segment_table_sums
 
     def local_sums(t_self, t_other, *flat):
-        from ..ops.ell import _bucket_phi_sums
+        from ..ops.ell import _bucket_phi_sums, _dep_stride
+
+        _stride = _dep_stride()
 
         buckets = [EllBucket(*flat[3 * i: 3 * i + 3]) for i in range(n_buckets)]
         k = t_other.shape[1]
@@ -90,7 +92,7 @@ def make_sharded_ell_phi_sums(mesh: Mesh, n_buckets: int, col_spans=None):
                                                  (span[1], k))
                 tab = slices[span]
             out, deps = _bucket_phi_sums(t_self, tab, b.rows, b.cols, b.vals,
-                                         deps=deps)
+                                         deps=deps, dep_stride=_stride)
             parts.append(jax.lax.all_gather(out, DATA_AXIS, axis=0, tiled=True))
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 

@@ -316,8 +316,9 @@ def _ring_table_sums(t_self_loc, opp_shard, se: ShardedEll, ndev: int):
     import jax
     import jax.numpy as jnp
 
-    from ..ops.ell import _bucket_phi_sums
+    from ..ops.ell import _bucket_phi_sums, _dep_stride
 
+    _stride = _dep_stride()
     k = opp_shard.shape[1]
     per_opp = se.per_opp
     parts = [None] * len(se.buckets)
@@ -337,7 +338,8 @@ def _ring_table_sums(t_self_loc, opp_shard, se: ShardedEll, ndev: int):
                     slices[(lo, hi)] = jax.lax.slice(buf, (lo, 0), (hi, k))
                 tab = slices[(lo, hi)]
             out, deps = _bucket_phi_sums(t_self_loc, tab, b.rows, b.cols,
-                                         b.vals, deps=deps)
+                                         b.vals, deps=deps,
+                                         dep_stride=_stride)
             parts[j] = out
         if o < ndev - 1:
             buf = jax.lax.ppermute(buf, DATA_AXIS, perm)

@@ -194,6 +194,8 @@ def main():
         print("# checksum carried=%.10g legacy=%.10g rel=%.2e"
               % (c_new, c_old, rel), file=sys.stderr)
 
+    from bench import SOL_SLOTS_PER_S
+
     order = list(runners)
     results = {name: [] for name in runners}
     for r in range(repeats):
@@ -201,8 +203,10 @@ def main():
             ts, _ = timed(name, 2)
             tb, _ = timed(name, 2 + iters)
             results[name].append((tb - ts) / iters)
+    floor_s = slots / SOL_SLOTS_PER_S  # same physics filter as bench.py
     for name, pairs in results.items():
-        med = float(np.median(pairs))
+        kept = [p for p in pairs if p >= floor_s] or [floor_s]
+        med = float(np.median(kept))
         print(json.dumps({
             "variant": name,
             "iter_s": round(med, 4),
@@ -210,6 +214,8 @@ def main():
             "slots_per_iter": slots,
             "implied_mslots_per_s": round(slots / med / 1e6, 1),
             "pairs_iter_s": [round(p, 4) for p in pairs],
+            "n_dropped_impossible": len(pairs) - len([p for p in pairs
+                                                      if p >= floor_s]),
             "config": "%s nU=%d nI=%d nnz=%d k=%d" % (scale, nU, nI, nnz, k),
         }))
 
