@@ -104,6 +104,7 @@ def main():
     user_only_fn = partial_sums_fn(True, False)
     tables_only_fn = partial_sums_fn(False, False)
     stride2_fn = stride_fn(2)
+    stride3_fn = stride_fn(3)
     stride4_fn = stride_fn(4)
     slots4m_fn = slots_fn(4 << 20)   # hoisted: a fresh fn per call would
     slots12m_fn = slots_fn(12 << 20)  # defeat the jit cache (static arg)
@@ -130,6 +131,9 @@ def main():
                                               gather_dtype=gd),
         "stride2": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
                                              phi_sums_fn=stride2_fn,
+                                             gather_dtype=gd),
+        "stride3": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                             phi_sums_fn=stride3_fn,
                                              gather_dtype=gd),
         "stride4": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
                                              phi_sums_fn=stride4_fn,
