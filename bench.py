@@ -87,8 +87,13 @@ SCALES = {
     # nonzeros, k=50) — the config where the user table (204 MB f32)
     # leaves the fast-gather window, so column tiling + bfloat16 gather
     # tables are actually engaged (PERFORMANCE.md "MillionSong scale")
+    # iters=60 (round-5): the paired differential's signal is iters x
+    # per-iteration time against a fixed ~20 s small-run noise floor, and
+    # at 20 iters the two were the same order (BENCH_r04 kept-pair spread
+    # 2.8x).  60 iterations triple the signal at the same per-pair noise;
+    # capped-dispatch chaining keeps every dispatch watchdog-safe.
     "millionsong": dict(nU=1_019_318, nI=376_768, nnz=38_700_000, k=50,
-                        iters=20),
+                        iters=60),
     # secondary: both tables inside the fast-gather window (r1 headline)
     "medium": dict(nU=200_000, nI=40_000, nnz=10_000_000, k=50, iters=30),
 }
@@ -107,6 +112,8 @@ def main():
         raise SystemExit("BENCH_ENGINE must be one of auto|ell|table|coo, "
                          "got %r" % engine)
 
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
@@ -116,6 +123,21 @@ def main():
     # compile at catalog scale runs minutes through this environment's
     # remote-compile tunnel; the persistent cache makes repeat runs warm
     enable_compilation_cache()
+
+    # Mesh honesty (round-5): this is a SINGLE-CHIP statistic.  The
+    # ell/auto/coo engines jit unsharded — on a multi-device machine they
+    # would land on one device while the config implies the whole machine,
+    # silently reporting 1/Nth of it.  Pin them to device 0 explicitly and
+    # say so in the JSON; the table engine is the one mode that spreads
+    # over the mesh (its slot accounting divides the ceiling per chip).
+    flags = []
+    n_avail = len(jax.devices())
+    pin_ctx = contextlib.nullcontext()
+    if n_avail > 1 and engine != "table":
+        pin_ctx = jax.default_device(jax.devices()[0])
+        flags.append("%d devices present; %s engine pinned to device 0 — "
+                     "single-chip statistic, not a machine measurement"
+                     % (n_avail, engine))
 
     hp = Hyperparams(k=k)
     y, iu, ii = synth_powerlaw(nU, nI, nnz)
@@ -161,6 +183,7 @@ def main():
                                         run_cavi_block_ell)
         from hpfrec_tpu.utils.data import build_csr
 
+        pin_ctx.__enter__()  # device pin for the staging + jit below
         gd = gather_table_dtype(max(nU, nI), k,
                                 mode=os.environ.get("BENCH_GATHER_DTYPE", "auto"))
         g_item = 2 if gd is not None else 4
@@ -183,9 +206,16 @@ def main():
         from hpfrec_tpu.ops.cavi import BlockedCOO, run_cavi_block
         from hpfrec_tpu.utils.data import block_coo
 
+        pin_ctx.__enter__()  # device pin for the staging + jit below
         blk = block_coo(y, iu, ii)
         data = BlockedCOO(jnp.asarray(blk.y), jnp.asarray(blk.ix_u),
                           jnp.asarray(blk.ix_i))
+        # physics floor for the COO engine too (round-5): the fused phi
+        # block gathers TWO table rows per (padded) nonzero per iteration,
+        # and the scatter on top is strictly slower — so a pair implying
+        # more than 2*nnz_padded gather slots at the ceiling is an
+        # artifact regardless of engine
+        slots_per_iter = 2 * int(np.prod(blk.y.shape))
         runner = lambda st, n: run_cavi_block(st, data, n, hp)  # noqa: E731
 
     # Calibrate a per-dispatch iteration cap: a single dispatch running
@@ -227,7 +257,6 @@ def main():
     # physics cross-check: drop pairs implying more gather slots/s than
     # the measured hardware ceiling (those are timing artifacts by
     # construction); if nothing survives, clamp to the bound and say so
-    flags = []
     kept = pairs
     if slots_per_iter is not None:
         # The ceiling is per chip.  Only the table engine spreads its
@@ -252,6 +281,9 @@ def main():
 
     value = nnz / per_iter
     baseline = 1.85e6
+    # kept-pair interquartile range: the statistic's own error bar
+    # (round-5; BENCH_r04's kept pairs spread 2.8x with no spread field)
+    q25, q75 = (float(np.percentile(kept, 25)), float(np.percentile(kept, 75)))
     out = {
         "metric": "nonzeros_per_sec_per_chip",
         "value": value,
@@ -260,10 +292,13 @@ def main():
         # auditability: raw paired timings, the engine's slot count, and
         # the implied sustained slot rate so the number can be checked
         # against the 204-220 M slots/s gather ceiling at a glance
-        "config": "%s nU=%d nI=%d nnz=%d k=%d" % (scale, nU, nI, nnz, k),
+        "config": "%s nU=%d nI=%d nnz=%d k=%d iters=%d" % (
+            scale, nU, nI, nnz, k, iters),
         "repeats_small_s": [round(t, 3) for t in t_small],
         "repeats_big_s": [round(t, 3) for t in t_big],
         "pair_iter_s": [round(p, 4) for p in pairs],
+        "kept_pair_iqr_s": [round(q25, 4), round(q75, 4)],
+        "kept_pair_iqr_rel": round((q75 - q25) / per_iter, 3),
     }
     if slots_per_iter is not None:
         out["slots_per_iter"] = slots_per_iter

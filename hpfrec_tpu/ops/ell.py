@@ -412,7 +412,7 @@ def device_ell(layout: EllLayout) -> EllLayout:
     )
 
 
-def _dep_stride(value=None) -> int:
+def _dep_stride(value=None, acc_dtype=None) -> int:
     """Resolve the barrier stride: every chunk op barriers on the op
     ``stride`` back, so up to ``stride`` (c, w, k) temporaries
     (~``TARGET_SLOTS`` · k · acc-itemsize bytes each, ~1.6 GB at k=50
@@ -426,13 +426,22 @@ def _dep_stride(value=None) -> int:
     WORSE (0.82 s/iter), and 16M-slot ops OOM — liveness costs kick in
     fast, so the default stays at the smallest winning stride.  1 restores
     the round-3 strict chain (env ``HPFREC_TPU_ELL_DEP_STRIDE`` or the
-    ``dep_stride`` parameter) — use it when HBM is tight (f64 states
-    double the temp bytes)."""
+    ``dep_stride`` parameter).
+
+    With an ``acc_dtype`` of float64 the default auto-degrades to 1
+    (advisor round 4): f64 doubles every temporary's bytes, so a config
+    that fit under the round-3 strict chain could OOM at stride 2.  The
+    env var / parameter still override."""
     import os
 
     if value is not None:
         return max(1, int(value))
-    return max(1, int(os.environ.get("HPFREC_TPU_ELL_DEP_STRIDE", "2")))
+    env = os.environ.get("HPFREC_TPU_ELL_DEP_STRIDE")
+    if env is not None:
+        return max(1, int(env))
+    if acc_dtype is not None and np.dtype(acc_dtype) == np.float64:
+        return 1
+    return 2
 
 
 def _bucket_phi_sums(t_self, t_other, rows, cols, vals,
@@ -507,7 +516,7 @@ def all_bucket_sums(t_self, t_other, buckets, col_spans=None,
     import jax.numpy as jnp
     from jax import lax
 
-    stride = _dep_stride(dep_stride)
+    stride = _dep_stride(dep_stride, acc_dtype=t_self.dtype)
     k = t_other.shape[1]
     slices = {}
     parts = []

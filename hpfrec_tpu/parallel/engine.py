@@ -75,7 +75,7 @@ def make_sharded_ell_phi_sums(mesh: Mesh, n_buckets: int, col_spans=None):
     def local_sums(t_self, t_other, *flat):
         from ..ops.ell import _bucket_phi_sums, _dep_stride
 
-        _stride = _dep_stride()
+        _stride = _dep_stride(acc_dtype=t_self.dtype)
 
         buckets = [EllBucket(*flat[3 * i: 3 * i + 3]) for i in range(n_buckets)]
         k = t_other.shape[1]

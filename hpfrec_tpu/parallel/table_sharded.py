@@ -318,7 +318,7 @@ def _ring_table_sums(t_self_loc, opp_shard, se: ShardedEll, ndev: int):
 
     from ..ops.ell import _bucket_phi_sums, _dep_stride
 
-    _stride = _dep_stride()
+    _stride = _dep_stride(acc_dtype=t_self_loc.dtype)
     k = opp_shard.shape[1]
     per_opp = se.per_opp
     parts = [None] * len(se.buckets)
