@@ -196,12 +196,20 @@ def main():
                                      col_chunk_rows=plan_col_tiling(nU, k, g_item),
                                      n_cols=nU))
         slots_per_iter = layout_slots(ell_u) + layout_slots(ell_i)
+        # optional interleaved two-side chain (same switch as
+        # HPF._make_runner; off by default — the three-session A/B was
+        # sign-flipping, PERFORMANCE.md round-5)
+        pair_fn = None
+        if os.environ.get("HPFREC_TPU_ELL_INTERLEAVE", "0") == "1":
+            from hpfrec_tpu.ops.ell import ell_phi_sums_interleaved
+            pair_fn = ell_phi_sums_interleaved
         # layouts as jit args (not closures) so they are buffers, not
         # embedded HLO constants
         jitted = jax.jit(run_cavi_block_ell,
-                         static_argnames=("hp", "phi_sums_fn", "gather_dtype"))
+                         static_argnames=("hp", "phi_sums_fn", "gather_dtype",
+                                          "phi_pair_fn"))
         runner = lambda st, n: jitted(st, ell_u, ell_i, n, hp=hp,  # noqa: E731
-                                      gather_dtype=gd)
+                                      gather_dtype=gd, phi_pair_fn=pair_fn)
     else:
         from hpfrec_tpu.ops.cavi import BlockedCOO, run_cavi_block
         from hpfrec_tpu.utils.data import block_coo

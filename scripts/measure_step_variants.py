@@ -82,7 +82,7 @@ def main():
 
     jit_carried = jax.jit(run_cavi_block_ell,
                           static_argnames=("hp", "phi_sums_fn",
-                                           "gather_dtype"))
+                                           "gather_dtype", "phi_pair_fn"))
     jit_legacy = jax.jit(legacy_block,
                          static_argnames=("hp", "gather_dtype"))
     def slots_fn(target):
@@ -101,6 +101,16 @@ def main():
                                 dep_stride=stride)
         return fn
 
+    def minirow_fn(on):
+        """phi_sums_fn pinning the mini-row reshape (round-5: every
+        width-divisible-by-8 bucket computed as (c*w/8, 8) mini-rows)."""
+        def fn(t_self, t_other, layout, side="user"):
+            return ell_phi_sums(t_self, t_other, layout, side=side,
+                                minirow=on)
+        return fn
+
+    minirow_on_fn = minirow_fn(True)
+    minirow_off_fn = minirow_fn(False)
     user_only_fn = partial_sums_fn(True, False)
     tables_only_fn = partial_sums_fn(False, False)
     stride2_fn = stride_fn(2)
@@ -138,8 +148,70 @@ def main():
         "stride4": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
                                              phi_sums_fn=stride4_fn,
                                              gather_dtype=gd),
+        "minirow": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                             phi_sums_fn=minirow_on_fn,
+                                             gather_dtype=gd),
+        "minirow_off": lambda st, n: jit_carried(st, ell_u, ell_i, n, hp=hp,
+                                                 phi_sums_fn=minirow_off_fn,
+                                                 gather_dtype=gd),
     }
+    # per-variant slot counts (layout-changing variants differ)
+    slots_by = {}
+
+    # round-5 experiments (verdict item 4): op-count / op-order variants
     names = os.environ.get("MEASURE_VARIANTS", "carried,legacy").split(",")
+    if "interleaved" in names:
+        # user/item op chains alternated under one shared dep chain
+        from hpfrec_tpu.ops.ell import ell_phi_sums_interleaved
+
+        all_runners["interleaved"] = lambda st, n: jit_carried(
+            st, ell_u, ell_i, n, hp=hp, gather_dtype=gd,
+            phi_pair_fn=ell_phi_sums_interleaved)
+    for name in names:
+        if name.startswith("merge"):
+            # fewer, fatter bucket ops at slightly more padded slots (the
+            # round-3 merge table: 2^20 -> ~46 ops / +9% slots)
+            lg = name[len("merge"):]
+            os.environ["HPFREC_TPU_ELL_MERGE_LOG2"] = lg
+            lu_m = device_ell(build_ell(
+                indptr_u, ind_u, dat_u, nU,
+                col_chunk_rows=plan_col_tiling(nI, k, g_item), n_cols=nI))
+            li_m = device_ell(build_ell(
+                indptr_i, ind_i, dat_i, nI,
+                col_chunk_rows=plan_col_tiling(nU, k, g_item), n_cols=nU))
+            del os.environ["HPFREC_TPU_ELL_MERGE_LOG2"]
+            slots_by[name] = layout_slots(lu_m) + layout_slots(li_m)
+            # MEASURE_MERGE_INTERLEAVE=1 composes the merged layout with
+            # the interleaved two-side chain (round-5 session 3)
+            ppf = None
+            if os.environ.get("MEASURE_MERGE_INTERLEAVE") == "1":
+                from hpfrec_tpu.ops.ell import ell_phi_sums_interleaved
+                ppf = ell_phi_sums_interleaved
+            all_runners[name] = (
+                lambda st, n, lu=lu_m, li=li_m, ppf=ppf: jit_carried(
+                    st, lu, li, n, hp=hp, gather_dtype=gd,
+                    phi_pair_fn=ppf))
+        elif name.startswith("tile") and name.endswith("x"):
+            # wider column tiles on the tiled side(s): halves the
+            # cross-tile bucket split (fewer ops) at the cost of gather
+            # operands beyond the fast window (verdict item 4 experiment
+            # b — same-width concat across adjacent tiles is exactly a
+            # tile of twice the span)
+            mult = float(name[len("tile"):-1])
+            cu = plan_col_tiling(nI, k, g_item)
+            ci = plan_col_tiling(nU, k, g_item)
+            lu_t = device_ell(build_ell(
+                indptr_u, ind_u, dat_u, nU,
+                col_chunk_rows=None if cu is None else int(cu * mult),
+                n_cols=nI))
+            li_t = device_ell(build_ell(
+                indptr_i, ind_i, dat_i, nI,
+                col_chunk_rows=None if ci is None else int(ci * mult),
+                n_cols=nU))
+            slots_by[name] = layout_slots(lu_t) + layout_slots(li_t)
+            all_runners[name] = (
+                lambda st, n, lu=lu_t, li=li_t: jit_carried(
+                    st, lu, li, n, hp=hp, gather_dtype=gd))
     preps = {}
     if "table" in names:
         # the model-parallel ring engine (same carried-tables step since
@@ -207,16 +279,17 @@ def main():
             ts, _ = timed(name, 2)
             tb, _ = timed(name, 2 + iters)
             results[name].append((tb - ts) / iters)
-    floor_s = slots / SOL_SLOTS_PER_S  # same physics filter as bench.py
     for name, pairs in results.items():
+        v_slots = slots_by.get(name, slots)
+        floor_s = v_slots / SOL_SLOTS_PER_S  # same physics filter as bench.py
         kept = [p for p in pairs if p >= floor_s] or [floor_s]
         med = float(np.median(kept))
         print(json.dumps({
             "variant": name,
             "iter_s": round(med, 4),
             "mnnz_per_s": round(nnz / med / 1e6, 1),
-            "slots_per_iter": slots,
-            "implied_mslots_per_s": round(slots / med / 1e6, 1),
+            "slots_per_iter": v_slots,
+            "implied_mslots_per_s": round(v_slots / med / 1e6, 1),
             "pairs_iter_s": [round(p, 4) for p in pairs],
             "n_dropped_impossible": len(pairs) - len([p for p in pairs
                                                       if p >= floor_s]),
