@@ -108,8 +108,13 @@ def main():
     shell._n_seen_by_user = model._n_seen_by_user
     shell.is_fitted = True
 
-    # train llk (no-constant form, reference pxi:69-79) for both
-    llk_model = float(model.train_llk) if model.train_llk is not None else None
+    # train llk (no-constant form, reference pxi:69-79) for both, from
+    # the same formula on each fit's parameters
+    Th, Be = np.asarray(model.Theta, np.float64), np.asarray(model.Beta,
+                                                            np.float64)
+    pred_tr = np.einsum("ij,ij->i", Th[utr], Be[itr])
+    llk_model = float((ytr * np.log(pred_tr)).sum()
+                      - Th.sum(0).dot(Be.sum(0)))
     llk_oracle = float(oracle.train_llk(ytr, utr, itr))
 
     ev_m = evaluate(model, test_df, k=10, exclude_seen=True,
