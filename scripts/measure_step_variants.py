@@ -47,6 +47,18 @@ def main():
     enable_compilation_cache()
     hp = Hyperparams(k=k)
     y, iu, ii = synth_powerlaw(nU, nI, nnz)
+    if os.environ.get("MEASURE_USER_ZIPF") == "1":
+        # realistic variant: user activity heavy-tailed too (the stock
+        # synth has near-uniform user degrees), with ids RANDOMLY
+        # permuted like pd.factorize's first-appearance order — the
+        # regime the degsort locality experiment is about
+        rng = np.random.default_rng(5)
+        w_u = np.arange(1, nU + 1, dtype=np.float64) ** -0.8
+        p_u = w_u / w_u.sum()
+        iu = rng.choice(nU, size=nnz, p=p_u)
+        iu = rng.permutation(nU)[iu].astype(np.int32)
+        order = np.argsort(iu, kind="stable")
+        iu, ii, y = iu[order], ii[order], y[order]
     gd = gather_table_dtype(max(nU, nI), k)
     g_item = 2 if gd is not None else 4
     indptr_u, ind_u, dat_u = build_csr(iu, ii, y, nU, nI)
@@ -155,8 +167,33 @@ def main():
                                                  phi_sums_fn=minirow_off_fn,
                                                  gather_dtype=gd),
     }
+    if "degsort" in os.environ.get("MEASURE_VARIANTS", ""):
+        all_runners["degsort"] = lambda st, n: jit_carried(
+            st, lu_d, li_d, n, hp=hp, gather_dtype=gd)
     # per-variant slot counts (layout-changing variants differ)
     slots_by = {}
+
+    if "degsort" in os.environ.get("MEASURE_VARIANTS", ""):
+        # round-5 locality experiment: relabel USERS by degree rank
+        # (hot rows first) so the item side's user-table gathers hit a
+        # clustered hot region; degrees (hence bucket shapes and slot
+        # counts) are unchanged — only gather-target locality moves.
+        # The synthetic items are already popularity-ordered (the
+        # favorable case); real pd.factorize data is random on both
+        # axes, which the user axis models here.
+        deg_u = np.bincount(iu, minlength=nU)
+        rank_u = np.empty(nU, dtype=np.int32)
+        rank_u[np.argsort(-deg_u, kind="stable")] = np.arange(nU,
+                                                              dtype=np.int32)
+        iu_d = rank_u[iu]
+        ip_u, in_u, da_u = build_csr(iu_d, ii, y, nU, nI)
+        ip_i, in_i, da_i = build_csr(ii, iu_d, y, nI, nU)
+        lu_d = device_ell(build_ell(ip_u, in_u, da_u, nU,
+                                    col_chunk_rows=plan_col_tiling(nI, k, g_item),
+                                    n_cols=nI))
+        li_d = device_ell(build_ell(ip_i, in_i, da_i, nI,
+                                    col_chunk_rows=plan_col_tiling(nU, k, g_item),
+                                    n_cols=nU))
 
     # round-5 experiments (verdict item 4): op-count / op-order variants
     names = os.environ.get("MEASURE_VARIANTS", "carried,legacy").split(",")
