@@ -1456,6 +1456,11 @@ class HPF:
                             mult = float(self.nitems) / float(end_b - st_b)
                             st_holder[0] = run_batch(rows, indptr_i, indices_i, data_i,
                                                      self.nitems, self.nusers, mult, step, False)
+                # force completion so the device phase owns the epoch's
+                # time (dispatches are async; without this a following
+                # metric check absorbs pending epochs and the fit_stats_
+                # attribution blurs — observed on the SVI-slice record)
+                float(jnp.sum(st_holder[0].k_rte))
 
             stop = False
             if self.check_every > 0 and ((i + 1) % self.check_every) == 0:
